@@ -1,0 +1,312 @@
+"""Score-estimator U-Net and VP-SDE diffusion math.
+
+Behavioral parity targets: /root/reference/model/diffusion.py —
+GradLogPEstimator2d (:128-216), ResnetBlock (:61-79), LinearAttention
+(:82-100), SinusoidalPosEmb (:113-125), Up/Downsample (:21-36), Rezero
+(:39-46), get_noise (:219-224), Diffusion forward/reverse/loss (:227-287).
+
+TPU-first design decisions:
+- NHWC layout [B, F(=80), T, C]: channels lane-minor so 3x3 convs tile onto
+  the MXU; the mask is [B, 1, T, 1] and broadcasts.
+- The parameterized estimator is a flax module; the diffusion *algorithms*
+  (forward noising, Euler reverse sampler, loss) are pure functions over an
+  ``estimator_fn`` closure so the sampler compiles to a single ``lax.scan``
+  with no Python-loop unrolling or host sync.
+- Transposed conv implemented explicitly via ``conv_general_dilated`` with
+  lhs dilation, bit-matching torch ConvTranspose2d(k=4, s=2, p=1).
+
+Fork quirk reproduced deliberately: for external speaker embeddings
+(n_spks == -1) the reference builds ``spk_mlp`` but never feeds its output
+to the U-Net (diffusion.py:139-141 vs :180-184 — `n_spks < 2` takes the
+2-channel branch), so the zero-speaker U-Net is speaker-unconditioned. We
+replicate this (including the unused params) for checkpoint parity.
+"""
+
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gradtts_tpu.models.layers import mish
+
+
+def get_noise(t, beta_init, beta_term, cumulative=False):
+    """Linear beta schedule; cumulative gives the integral of beta
+    (parity: diffusion.py:219-224)."""
+    if cumulative:
+        return beta_init * t + 0.5 * (beta_term - beta_init) * (t ** 2)
+    return beta_init + (beta_term - beta_init) * t
+
+
+class SinusoidalPosEmb(nn.Module):
+    dim: int
+
+    def __call__(self, x, scale=1000.0):
+        half_dim = self.dim // 2
+        emb = math.log(10000) / (half_dim - 1)
+        emb = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -emb)
+        emb = scale * x[:, None].astype(jnp.float32) * emb[None, :]
+        return jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+
+
+class Upsample(nn.Module):
+    """2x up in both (F, T) via transposed conv, torch
+    ConvTranspose2d(dim, dim, 4, 2, 1) semantics (diffusion.py:21-27)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        # Equivalent direct convolution: dilate input by 2, correlate with
+        # the spatially-flipped kernel, pad by k-1-p = 2.
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (4, 4, self.dim, self.dim))
+        bias = self.param('bias', nn.initializers.zeros, (self.dim,))
+        y = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1, 1), padding=((2, 2), (2, 2)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        return y + bias
+
+
+class Downsample(nn.Module):
+    """2x down in both (F, T): Conv2d(dim, dim, 3, 2, 1)
+    (diffusion.py:30-36)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.dim, (3, 3), strides=(2, 2),
+                       padding=((1, 1), (1, 1)), name='conv')(x)
+
+
+class Block(nn.Module):
+    """conv3x3 -> GroupNorm(8) -> Mish with masking (diffusion.py:49-58).
+    The GroupNorm statistics include masked (zero) positions — exactly as
+    the reference computes them."""
+    dim_out: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x, mask):
+        h = nn.Conv(self.dim_out, (3, 3), padding=((1, 1), (1, 1)),
+                    name='conv')(x * mask)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                         name='norm')(h)
+        return mish(h) * mask
+
+
+class ResnetBlock(nn.Module):
+    """Two Blocks with a time-embedding injection and residual conv
+    (diffusion.py:61-79)."""
+    dim: int
+    dim_out: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x, mask, time_emb):
+        h = Block(self.dim_out, self.groups, name='block1')(x, mask)
+        temb = nn.Dense(self.dim_out, name='mlp_dense')(mish(time_emb))
+        h = h + temb[:, None, None, :]
+        h = Block(self.dim_out, self.groups, name='block2')(h, mask)
+        if self.dim != self.dim_out:
+            res = nn.Conv(self.dim_out, (1, 1), name='res_conv')(x * mask)
+        else:
+            res = x * mask
+        return h + res
+
+
+class LinearAttention(nn.Module):
+    """Softmax-kernel linear attention over all (F, T) positions
+    (diffusion.py:82-100)."""
+    dim: int
+    heads: int = 4
+    dim_head: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        b, f, t, _ = x.shape
+        hidden = self.heads * self.dim_head
+        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False,
+                      name='to_qkv')(x)
+        # channel order is (qkv, heads, dim_head) — matches the reference's
+        # rearrange 'b (qkv heads c) h w -> qkv b heads c (h w)'
+        qkv = qkv.reshape(b, f * t, 3, self.heads, self.dim_head)
+        q = qkv[:, :, 0]  # [B, N, H, D]
+        k = qkv[:, :, 1]
+        v = qkv[:, :, 2]
+        k = nn.softmax(k, axis=1)  # softmax over positions N
+        context = jnp.einsum('bnhd,bnhe->bhde', k, v,
+                             preferred_element_type=jnp.float32)
+        out = jnp.einsum('bhde,bnhd->bnhe', context, q,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(b, f, t, hidden)
+        return nn.Conv(self.dim, (1, 1), name='to_out')(out)
+
+
+class Rezero(nn.Module):
+    """Residual linear-attention block scaled by a zero-init'd scalar
+    (Residual(Rezero(LinearAttention)) in the reference)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.param('g', nn.initializers.zeros, (1,))
+        return LinearAttention(self.dim, name='fn')(x) * g + x
+
+
+class GradLogPEstimator2d(nn.Module):
+    """U-Net over (F=80, T) with [mu, x_t(, spk)] as input channels
+    (parity: diffusion.py:128-216).
+
+    Interface is time-major: x, mu are [B, T, F]; mask is [B, T]; t is [B];
+    spk is [B, spk_emb_dim] (already embedded) or None.
+    """
+    dim: int
+    dim_mults: Tuple[int, ...] = (1, 2, 4)
+    groups: int = 8
+    n_spks: int = 1
+    spk_emb_dim: int = 64
+    n_feats: int = 80
+    pe_scale: float = 1000.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, mu, t, spk=None):
+        use_spk_channel = self.n_spks > 1
+        has_spk_mlp = self.n_spks > 1 or self.n_spks == -1
+
+        if has_spk_mlp and spk is not None:
+            s = nn.Dense(self.spk_emb_dim * 4, name='spk_mlp_0')(spk)
+            s = nn.Dense(self.n_feats, name='spk_mlp_2')(mish(s))
+        t_emb = SinusoidalPosEmb(self.dim, name='time_pos_emb')(
+            t, scale=self.pe_scale)
+        t_emb = nn.Dense(self.dim * 4, name='mlp_0')(t_emb)
+        t_emb = nn.Dense(self.dim, name='mlp_2')(mish(t_emb))
+
+        # [B, T, F] -> NHWC [B, F, T, C]
+        chans = [mu.transpose(0, 2, 1), x.transpose(0, 2, 1)]
+        if use_spk_channel:
+            chans.append(jnp.broadcast_to(s[:, :, None],
+                                          (x.shape[0], self.n_feats, x.shape[1])))
+        h = jnp.stack(chans, axis=-1)
+        m = mask[:, None, :, None].astype(h.dtype)  # [B, 1, T, 1]
+
+        dims = [2 + (1 if use_spk_channel else 0)] + \
+               [self.dim * m_ for m_ in self.dim_mults]
+        in_out = list(zip(dims[:-1], dims[1:]))
+        num_res = len(in_out)
+
+        hiddens = []
+        masks = [m]
+        for ind, (dim_in, dim_out) in enumerate(in_out):
+            is_last = ind >= num_res - 1
+            mask_down = masks[-1]
+            h = ResnetBlock(dim_in, dim_out, self.groups,
+                            name=f'downs_{ind}_res1')(h, mask_down, t_emb)
+            h = ResnetBlock(dim_out, dim_out, self.groups,
+                            name=f'downs_{ind}_res2')(h, mask_down, t_emb)
+            h = Rezero(dim_out, name=f'downs_{ind}_attn')(h)
+            hiddens.append(h)
+            if not is_last:
+                h = Downsample(dim_out, name=f'downs_{ind}_down')(h * mask_down)
+            else:
+                h = h * mask_down
+            masks.append(mask_down[:, :, ::2, :])
+
+        masks = masks[:-1]
+        mask_mid = masks[-1]
+        mid_dim = dims[-1]
+        h = ResnetBlock(mid_dim, mid_dim, self.groups,
+                        name='mid_block1')(h, mask_mid, t_emb)
+        h = Rezero(mid_dim, name='mid_attn')(h)
+        h = ResnetBlock(mid_dim, mid_dim, self.groups,
+                        name='mid_block2')(h, mask_mid, t_emb)
+
+        for ind, (dim_in, dim_out) in enumerate(reversed(in_out[1:])):
+            mask_up = masks.pop()
+            h = jnp.concatenate([h, hiddens.pop()], axis=-1)
+            h = ResnetBlock(dim_out * 2, dim_in, self.groups,
+                            name=f'ups_{ind}_res1')(h, mask_up, t_emb)
+            h = ResnetBlock(dim_in, dim_in, self.groups,
+                            name=f'ups_{ind}_res2')(h, mask_up, t_emb)
+            h = Rezero(dim_in, name=f'ups_{ind}_attn')(h)
+            h = Upsample(dim_in, name=f'ups_{ind}_up')(h * mask_up)
+
+        h = Block(self.dim, self.groups, name='final_block')(h, m)
+        out = nn.Conv(1, (1, 1), name='final_conv')(h * m)
+        out = out * m
+        return out[..., 0].transpose(0, 2, 1)  # NHWC -> [B, T, F]
+
+
+# --------------------------------------------------------------------------
+# Pure-function diffusion algorithms (VP-SDE with text-conditional mean mu).
+# estimator_fn(x_t, mask, mu, t, spk) -> score estimate, all [B, T, F].
+# --------------------------------------------------------------------------
+
+
+def forward_diffusion(key, x0, mask, mu, t, beta_min, beta_max):
+    """Closed-form q(x_t | x_0) sample (parity: diffusion.py:244-252).
+    mask: [B, T, 1] broadcastable over F."""
+    time = t[:, None, None]
+    cum_noise = get_noise(time, beta_min, beta_max, cumulative=True)
+    decay = jnp.exp(-0.5 * cum_noise)
+    mean = x0 * decay + mu * (1.0 - decay)
+    variance = 1.0 - jnp.exp(-cum_noise)
+    z = jax.random.normal(key, x0.shape, dtype=x0.dtype)
+    xt = mean + z * jnp.sqrt(variance)
+    return xt * mask, z * mask
+
+
+def reverse_diffusion(estimator_fn, z, mask, mu, n_timesteps,
+                      beta_min, beta_max, stoc=False, spk=None, key=None):
+    """Euler sampler for the reverse ODE as a single ``lax.scan``
+    (parity: diffusion.py:254-268 — the fork's sampler is always the
+    probability-flow ODE; the ``stoc`` flag is accepted but ignored there,
+    here ``stoc=True`` enables the Euler-Maruyama SDE branch explicitly).
+
+    mask: [B, T, 1]; z, mu: [B, T, F].
+    """
+    h = 1.0 / n_timesteps
+    xt = z * mask
+
+    def step(carry, i):
+        xt, key = carry
+        t = (1.0 - (i + 0.5) * h) * jnp.ones((z.shape[0],), dtype=z.dtype)
+        noise_t = get_noise(t[:, None, None], beta_min, beta_max,
+                            cumulative=False)
+        score = estimator_fn(xt, mask[..., 0], mu, t, spk)
+        if stoc:
+            key, sub = jax.random.split(key)
+            dxt_det = (0.5 * (mu - xt) - score) * noise_t * h
+            dxt_stoc = jax.random.normal(sub, z.shape, dtype=z.dtype) \
+                * jnp.sqrt(noise_t * h)
+            dxt = dxt_det + dxt_stoc
+        else:
+            dxt = 0.5 * (mu - xt - score) * noise_t * h
+        xt = (xt - dxt) * mask
+        return (xt, key), None
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    (xt, _), _ = jax.lax.scan(step, (xt, key),
+                              jnp.arange(n_timesteps, dtype=z.dtype))
+    return xt
+
+
+def diffusion_loss(estimator_fn, key, x0, mask, mu, beta_min, beta_max,
+                   spk=None, offset=1e-5):
+    """Score-matching loss at uniformly sampled t
+    (parity: diffusion.py:274-287). mask: [B, T, 1]."""
+    key_t, key_z = jax.random.split(key)
+    t = jax.random.uniform(key_t, (x0.shape[0],), dtype=x0.dtype)
+    t = jnp.clip(t, offset, 1.0 - offset)
+    xt, z = forward_diffusion(key_z, x0, mask, mu, t, beta_min, beta_max)
+    cum_noise = get_noise(t[:, None, None], beta_min, beta_max,
+                          cumulative=True)
+    est = estimator_fn(xt, mask[..., 0], mu, t, spk)
+    est = est * jnp.sqrt(1.0 - jnp.exp(-cum_noise))
+    n_feats = x0.shape[-1]
+    loss = jnp.sum((est + z) ** 2) / (jnp.sum(mask) * n_feats)
+    return loss, xt, t

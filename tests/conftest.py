@@ -15,6 +15,13 @@ if '--xla_force_host_platform_device_count' not in flags:
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache')
 os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
 
+# The axon sitecustomize registers the tunneled-TPU backend at interpreter
+# start and force-sets jax_platforms='axon,cpu', overriding JAX_PLATFORMS
+# from the environment — override it back before any backend is touched.
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
+
 import sys
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

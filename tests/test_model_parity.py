@@ -1,0 +1,176 @@
+"""Numeric parity of the flax GradTTS vs the reference torch implementation.
+
+The reference's pretrained .pt checkpoints are not present (large blobs
+stripped), so parity is established structurally: random torch init ->
+convert with gradtts_tpu.utils.convert -> identical outputs. This exercises
+exactly the code path a real checkpoint would take.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip('jax')
+import jax.numpy as jnp  # noqa: E402
+
+torch = pytest.importorskip('torch')
+
+from ref_oracle import load_reference_model  # noqa: E402
+
+from gradtts_tpu.models import GradTTS, reverse_diffusion  # noqa: E402
+from gradtts_tpu.utils.convert import gradtts_torch_to_flax  # noqa: E402
+
+# tiny but structurally complete dims
+HP = dict(n_vocab=149, n_enc_channels=32, filter_channels=64,
+          filter_channels_dp=16, n_heads=2, n_enc_layers=2, enc_kernel=3,
+          enc_dropout=0.1, window_size=4, n_feats=16, dec_dim=16,
+          beta_min=0.05, beta_max=20.0, pe_scale=1000.0)
+
+B, TX, TY = 2, 12, 32
+
+
+def build_pair(n_spks=1, spk_emb_dim=64, seed=0, hp=None, ty=TY):
+    # NOTE: the reference estimator hardcodes n_feats=80 for spk_mlp
+    # (Diffusion does not forward n_feats, diffusion.py:240-242), so any
+    # speaker-conditioned parity test must use n_feats=80.
+    hp = dict(HP if hp is None else hp)
+    ref = load_reference_model()
+    torch.manual_seed(seed)
+    tmodel = ref.tts.GradTTS(
+        hp['n_vocab'], n_spks, spk_emb_dim, hp['n_enc_channels'],
+        hp['filter_channels'], hp['filter_channels_dp'], hp['n_heads'],
+        hp['n_enc_layers'], hp['enc_kernel'], hp['enc_dropout'],
+        hp['window_size'], hp['n_feats'], hp['dec_dim'], hp['beta_min'],
+        hp['beta_max'], hp['pe_scale']).eval()
+
+    jmodel = GradTTS(n_spks=n_spks, spk_emb_dim=spk_emb_dim, **hp)
+    rng = np.random.default_rng(seed)
+    x = rng.integers(1, hp['n_vocab'], size=(B, TX))
+    x_lengths = np.array([TX, TX - 3])
+    y = rng.standard_normal((B, ty, hp['n_feats'])).astype(np.float32)
+    y_lengths = np.array([ty, ty - 5])
+    if n_spks > 1:
+        spk = np.array([0, min(1, n_spks - 1)])
+    elif n_spks == -1:
+        spk = rng.standard_normal((B, spk_emb_dim)).astype(np.float32)
+    else:
+        spk = None
+    params = jmodel.init(jax.random.PRNGKey(0), jnp.array(x),
+                         jnp.array(x_lengths), jnp.array(y),
+                         jnp.array(y_lengths),
+                         jnp.array(spk) if spk is not None else None)
+    params = gradtts_torch_to_flax(tmodel.state_dict(), params)
+    return tmodel, jmodel, params, (x, x_lengths, y, y_lengths, spk)
+
+
+@pytest.fixture(scope='module')
+def pair1():
+    return build_pair(n_spks=1)
+
+
+def test_encoder_parity(pair1):
+    tmodel, jmodel, params, (x, x_lengths, y, y_lengths, spk) = pair1
+    with torch.no_grad():
+        t_mu, t_logw, t_mask = tmodel.encoder(
+            torch.tensor(x), torch.tensor(x_lengths), None)
+    j_mu, j_logw, j_mask, _ = jmodel.apply(
+        params, jnp.array(x), jnp.array(x_lengths), None,
+        method=GradTTS.encode)
+    np.testing.assert_allclose(np.array(j_mu).transpose(0, 2, 1),
+                               t_mu.numpy(), atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.array(j_logw).transpose(0, 2, 1),
+                               t_logw.numpy(), atol=2e-5, rtol=1e-5)
+
+
+def test_estimator_parity(pair1):
+    tmodel, jmodel, params, (x, x_lengths, y, y_lengths, spk) = pair1
+    rng = np.random.default_rng(1)
+    xt = rng.standard_normal((B, TY, HP['n_feats'])).astype(np.float32)
+    mu = rng.standard_normal((B, TY, HP['n_feats'])).astype(np.float32)
+    mask = np.ones((B, TY), np.float32)
+    mask[1, -5:] = 0
+    t = np.array([0.3, 0.7], np.float32)
+    with torch.no_grad():
+        t_out = tmodel.decoder.estimator(
+            torch.tensor(xt.transpose(0, 2, 1)), torch.tensor(mask)[:, None, :],
+            torch.tensor(mu.transpose(0, 2, 1)), torch.tensor(t), None)
+    j_out = jmodel.apply(params, jnp.array(xt), jnp.array(mask),
+                         jnp.array(mu), jnp.array(t), None,
+                         method=GradTTS.estimate)
+    np.testing.assert_allclose(np.array(j_out).transpose(0, 2, 1),
+                               t_out.numpy(), atol=5e-5, rtol=1e-4)
+
+
+def test_reverse_diffusion_parity(pair1):
+    tmodel, jmodel, params, _ = pair1
+    rng = np.random.default_rng(2)
+    z = rng.standard_normal((B, TY, HP['n_feats'])).astype(np.float32)
+    mu = rng.standard_normal((B, TY, HP['n_feats'])).astype(np.float32)
+    mask = np.ones((B, TY), np.float32)
+    mask[1, -8:] = 0
+    with torch.no_grad():
+        t_dec = tmodel.decoder.reverse_diffusion(
+            torch.tensor(z.transpose(0, 2, 1)), torch.tensor(mask)[:, None, :],
+            torch.tensor(mu.transpose(0, 2, 1)), n_timesteps=10, stoc=False,
+            spk=None)
+
+    def estimator_fn(x_t, mask2d, mu_, t, s):
+        return jmodel.apply(params, x_t, mask2d, mu_, t, s,
+                            spk_is_embedded=True, method=GradTTS.estimate)
+
+    j_dec = reverse_diffusion(estimator_fn, jnp.array(z),
+                              jnp.array(mask)[..., None], jnp.array(mu),
+                              10, HP['beta_min'], HP['beta_max'])
+    np.testing.assert_allclose(np.array(j_dec).transpose(0, 2, 1),
+                               t_dec.numpy(), atol=2e-4, rtol=1e-3)
+
+
+def test_multispeaker_estimator_parity():
+    hp = dict(HP, n_feats=80)
+    ty = 16
+    tmodel, jmodel, params, (x, x_lengths, y, y_lengths, spk) = \
+        build_pair(n_spks=4, spk_emb_dim=8, seed=3, hp=hp, ty=ty)
+    rng = np.random.default_rng(3)
+    xt = rng.standard_normal((B, ty, hp['n_feats'])).astype(np.float32)
+    mu = rng.standard_normal((B, ty, hp['n_feats'])).astype(np.float32)
+    mask = np.ones((B, ty), np.float32)
+    t = np.array([0.1, 0.9], np.float32)
+    with torch.no_grad():
+        spk_emb_t = tmodel.spk_emb(torch.tensor(spk))
+        t_out = tmodel.decoder.estimator(
+            torch.tensor(xt.transpose(0, 2, 1)), torch.tensor(mask)[:, None, :],
+            torch.tensor(mu.transpose(0, 2, 1)), torch.tensor(t), spk_emb_t)
+    j_out = jmodel.apply(params, jnp.array(xt), jnp.array(mask),
+                         jnp.array(mu), jnp.array(t), jnp.array(spk),
+                         method=GradTTS.estimate)
+    np.testing.assert_allclose(np.array(j_out).transpose(0, 2, 1),
+                               t_out.numpy(), atol=5e-5, rtol=1e-4)
+
+
+def test_zero_speaker_estimator_unconditioned_quirk():
+    """Fork quirk: for n_spks == -1 the U-Net ignores the speaker vector
+    (diffusion.py:180-184 takes the 2-channel branch)."""
+    hp = dict(HP, n_feats=80)
+    ty = 16
+    tmodel, jmodel, params, (x, x_lengths, y, y_lengths, spk) = \
+        build_pair(n_spks=-1, spk_emb_dim=8, seed=4, hp=hp, ty=ty)
+    rng = np.random.default_rng(4)
+    xt = rng.standard_normal((B, ty, hp['n_feats'])).astype(np.float32)
+    mu = rng.standard_normal((B, ty, hp['n_feats'])).astype(np.float32)
+    mask = np.ones((B, ty), np.float32)
+    t = np.array([0.5, 0.5], np.float32)
+    with torch.no_grad():
+        t_out = tmodel.decoder.estimator(
+            torch.tensor(xt.transpose(0, 2, 1)), torch.tensor(mask)[:, None, :],
+            torch.tensor(mu.transpose(0, 2, 1)), torch.tensor(t),
+            torch.tensor(spk))
+    j_out = jmodel.apply(params, jnp.array(xt), jnp.array(mask),
+                         jnp.array(mu), jnp.array(t), jnp.array(spk),
+                         method=GradTTS.estimate)
+    np.testing.assert_allclose(np.array(j_out).transpose(0, 2, 1),
+                               t_out.numpy(), atol=5e-5, rtol=1e-4)
+    # and the output really is independent of spk
+    j_out2 = jmodel.apply(params, jnp.array(xt), jnp.array(mask),
+                          jnp.array(mu), jnp.array(t),
+                          jnp.array(spk * 0 + 7.0),
+                          method=GradTTS.estimate)
+    np.testing.assert_allclose(np.array(j_out), np.array(j_out2))

@@ -1,0 +1,102 @@
+"""End-to-end synthesis and training-loss behavior of the flax GradTTS."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip('jax')
+import jax.numpy as jnp  # noqa: E402
+
+torch = pytest.importorskip('torch')
+
+from test_model_parity import build_pair, HP, B, TX  # noqa: E402
+
+from gradtts_tpu.config import fix_len_compatibility  # noqa: E402
+from gradtts_tpu.models import (  # noqa: E402
+    GradTTS, synthesize, compute_loss,
+)
+
+
+@pytest.fixture(scope='module')
+def pair1():
+    return build_pair(n_spks=1)
+
+
+def test_synthesis_duration_pipeline_matches_reference(pair1):
+    """mu_y (pre-noise encoder outputs) and predicted lengths must match the
+    reference forward exactly — this covers exp/ceil/length_scale ordering,
+    masking, and generate_path."""
+    tmodel, jmodel, params, (x, x_lengths, *_rest) = pair1
+    with torch.no_grad():
+        t_enc, t_dec, t_attn = tmodel(
+            torch.tensor(x), torch.tensor(x_lengths), n_timesteps=1)
+    y_max = t_enc.shape[-1]
+    y_budget = fix_len_compatibility(y_max)
+
+    res = synthesize(jmodel, params, jnp.array(x), jnp.array(x_lengths),
+                     n_timesteps=1, y_max_length=y_budget,
+                     key=jax.random.PRNGKey(0))
+    j_enc = np.array(res.encoder_outputs).transpose(0, 2, 1)[:, :, :y_max]
+    np.testing.assert_allclose(j_enc, t_enc.numpy(), atol=2e-5, rtol=1e-4)
+    j_attn = np.array(res.attn)[:, :, :y_max]
+    np.testing.assert_array_equal(j_attn, t_attn.numpy()[:, 0])
+
+
+def test_synthesis_jit_and_masking(pair1):
+    _, jmodel, params, (x, x_lengths, *_rest) = pair1
+
+    fn = jax.jit(lambda p, xx, xl, k: synthesize(
+        jmodel, p, xx, xl, n_timesteps=4, y_max_length=128, key=k),
+        donate_argnums=())
+    res = fn(params, jnp.array(x), jnp.array(x_lengths), jax.random.PRNGKey(1))
+    dec = np.array(res.decoder_outputs)
+    yl = np.array(res.y_lengths)
+    assert dec.shape == (B, 128, HP['n_feats'])
+    assert np.isfinite(dec).all()
+    # masked region must be exactly zero
+    for b in range(B):
+        assert np.abs(dec[b, yl[b]:]).max() == 0
+        assert np.abs(dec[b, :yl[b]]).max() > 0
+
+
+def test_compute_loss_finite_and_jits(pair1):
+    _, jmodel, params, (x, x_lengths, y, y_lengths, _spk) = pair1
+
+    fn = jax.jit(lambda p, k, dk: compute_loss(
+        jmodel, p, k, jnp.array(x), jnp.array(x_lengths), jnp.array(y),
+        jnp.array(y_lengths), out_size=16, dropout_key=dk))
+    res = fn(params, jax.random.PRNGKey(0), jax.random.PRNGKey(1))
+    for name in ('dur_loss', 'prior_loss', 'diff_loss'):
+        v = float(getattr(res, name))
+        assert np.isfinite(v), name
+    assert res.attn.shape == (B, TX, 16)
+
+
+def test_compute_loss_grads_flow(pair1):
+    """Gradients must flow to encoder + estimator params, and the duration
+    predictor must receive gradients ONLY through the duration loss
+    (stop-gradient parity with torch .detach(), text_encoder.py:332)."""
+    _, jmodel, params, (x, x_lengths, y, y_lengths, _spk) = pair1
+
+    def total(p):
+        r = compute_loss(jmodel, p, jax.random.PRNGKey(0), jnp.array(x),
+                         jnp.array(x_lengths), jnp.array(y),
+                         jnp.array(y_lengths), out_size=None)
+        return r.dur_loss + r.prior_loss + r.diff_loss
+
+    g = jax.grad(total)(params)['params']
+    gnorm = lambda t: float(
+        jax.tree_util.tree_reduce(
+            lambda a, b: a + jnp.sum(jnp.abs(b)), t, 0.0))
+    assert gnorm(g['encoder']['emb']) > 0
+    assert gnorm(g['estimator']) > 0
+    assert gnorm(g['encoder']['proj_w']) > 0
+
+    def no_dur(p):
+        r = compute_loss(jmodel, p, jax.random.PRNGKey(0), jnp.array(x),
+                         jnp.array(x_lengths), jnp.array(y),
+                         jnp.array(y_lengths), out_size=None)
+        return r.prior_loss + r.diff_loss
+
+    g2 = jax.grad(no_dur)(params)['params']
+    assert gnorm(g2['encoder']['proj_w']) == 0  # only dur_loss reaches it
+    assert gnorm(g2['encoder']['emb']) > 0
