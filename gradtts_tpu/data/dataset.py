@@ -1,0 +1,319 @@
+"""Datasets and batch collation with static-shape bucketing.
+
+Behavioral parity targets: /root/reference/data.py —
+TextMelDataset/TextMelBatchCollate (:94-168), speaker-id variants (:171-254),
+zero-speaker variants with pretrained embedding tensors (:288-376), the TED
+text normalizer ``transform_txt`` (:256-271).
+
+TPU-first deviations:
+- batches are numpy dicts padded to BUCKETED static shapes (so XLA compiles
+  a handful of programs instead of one per batch shape);
+- audio decode + mel extraction run host-side in numpy worker threads (the
+  reference burns DataLoader workers on torch STFT);
+- wav IO is scipy/wave based (no torchaudio dependency).
+"""
+
+import random
+import re
+import threading
+import queue as queue_mod
+import wave
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from gradtts_tpu.config import GradTTSConfig, fix_len_compatibility
+from gradtts_tpu.data.mel import mel_spectrogram_np
+from gradtts_tpu.text import CMUDict, intersperse_blank, text_to_sequence
+from gradtts_tpu.text.symbols import symbols
+
+
+def parse_filelist(filelist_path, split_char='|'):
+    with open(filelist_path, encoding='utf-8') as f:
+        return [line.strip().split(split_char) for line in f if line.strip()]
+
+
+def load_wav(path):
+    """Returns (waveform float32 in [-1, 1], sample_rate). Supports PCM16/32
+    and float32 WAV via scipy, falling back to the wave module."""
+    try:
+        from scipy.io import wavfile
+        sr, data = wavfile.read(path)
+        if data.dtype == np.int16:
+            data = data.astype(np.float32) / 32768.0
+        elif data.dtype == np.int32:
+            data = data.astype(np.float32) / 2147483648.0
+        elif data.dtype == np.uint8:
+            data = (data.astype(np.float32) - 128.0) / 128.0
+        else:
+            data = data.astype(np.float32)
+        if data.ndim > 1:
+            data = data[:, 0]
+        return data, sr
+    except Exception:
+        with wave.open(path, 'rb') as w:
+            sr = w.getframerate()
+            n = w.getnframes()
+            raw = w.readframes(n)
+            data = np.frombuffer(raw, dtype=np.int16).astype(np.float32) / 32768.0
+            if w.getnchannels() > 1:
+                data = data.reshape(-1, w.getnchannels())[:, 0]
+            return data, sr
+
+
+def bucket_length(length: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= length (last bucket if none fits)."""
+    for b in buckets:
+        if length <= b:
+            return b
+    return buckets[-1]
+
+
+# --- TED-LIUM text normalizer (parity: data.py:256-271) -------------------
+
+_TED_BRACKETS = [re.compile(p) for p in
+                 (r'\[.*?\]', r'\(.*?\)', r'<.*?>', r'\{.*?\}')]
+_TED_SPACES = re.compile(r' +')
+
+
+def transform_txt(txt: str) -> str:
+    txt = txt.lower()
+    for pat in _TED_BRACKETS:
+        txt = pat.sub('', txt)
+    txt = txt.strip()
+    txt = _TED_SPACES.sub(' ', txt)
+    txt = txt.replace(" '", "'")
+    return txt
+
+
+# --- datasets --------------------------------------------------------------
+
+
+class TextMelDataset:
+    """(wav path, text) filelist -> (token ids, log-mel [T, 80]) pairs."""
+
+    def __init__(self, filelist_path, cmudict_path, add_blank=True,
+                 n_fft=1024, n_mels=80, sample_rate=22050, hop_length=256,
+                 win_length=1024, f_min=0.0, f_max=8000.0, shuffle=True,
+                 seed=37, split_char='|'):
+        self.filepaths_and_text = parse_filelist(filelist_path, split_char)
+        self.cmudict = CMUDict(cmudict_path)
+        self.add_blank = add_blank
+        self.n_fft = n_fft
+        self.n_mels = n_mels
+        self.sample_rate = sample_rate
+        self.hop_length = hop_length
+        self.win_length = win_length
+        self.f_min = f_min
+        self.f_max = f_max
+        if shuffle:
+            rng = random.Random(seed)
+            rng.shuffle(self.filepaths_and_text)
+
+    def get_text(self, text):
+        ids = text_to_sequence(text, dictionary=self.cmudict)
+        if self.add_blank:
+            ids = intersperse_blank(ids, len(symbols))
+        return np.asarray(ids, dtype=np.int32)
+
+    def get_mel(self, filepath):
+        audio, sr = load_wav(filepath)
+        if sr != self.sample_rate:
+            raise ValueError(f'{filepath}: sample rate {sr} != {self.sample_rate}')
+        return mel_spectrogram_np(audio[None], self.n_fft, self.n_mels,
+                                  self.sample_rate, self.hop_length,
+                                  self.win_length, self.f_min, self.f_max)[0]
+
+    def __getitem__(self, index):
+        path, text = self.filepaths_and_text[index][:2]
+        return {'x': self.get_text(text), 'y': self.get_mel(path)}
+
+    def __len__(self):
+        return len(self.filepaths_and_text)
+
+    def sample_test_batch(self, size, seed=0):
+        idx = np.random.default_rng(seed).choice(len(self), size=size,
+                                                 replace=False)
+        return [self[int(i)] for i in idx]
+
+
+class TextMelSpeakerDataset(TextMelDataset):
+    """Filelist lines ``wav|text|speaker_id`` (parity: data.py:171-227)."""
+
+    def __getitem__(self, index):
+        path, text, speaker = self.filepaths_and_text[index][:3]
+        return {'x': self.get_text(text), 'y': self.get_mel(path),
+                'spk': np.asarray([int(speaker)], dtype=np.int32)}
+
+
+class TextMelZeroSpeakerDataset(TextMelDataset):
+    """(wav, text) filelist plus a pretrained speaker-embedding matrix
+    indexed by utterance (parity: data.py:288-350). ``spk_path`` may be
+    .npy/.npz or a torch .pt tensor."""
+
+    def __init__(self, filelist_path, spk_path, cmudict_path,
+                 spk_emb_dim=192, **kw):
+        kw.setdefault('shuffle', False)
+        super().__init__(filelist_path, cmudict_path, **kw)
+        self.spk_emb = _load_embedding_matrix(spk_path)
+        self.spk_emb_dim = spk_emb_dim
+
+    def __getitem__(self, index):
+        path, text = self.filepaths_and_text[index][:2]
+        return {'x': self.get_text(text), 'y': self.get_mel(path),
+                'spk': np.asarray(self.spk_emb[index], dtype=np.float32)}
+
+
+def _load_embedding_matrix(path):
+    if path.endswith('.npy'):
+        return np.load(path)
+    if path.endswith('.npz'):
+        data = np.load(path)
+        return data[list(data.keys())[0]]
+    import torch  # .pt tensors (reference format, data.py:300)
+    t = torch.load(path, map_location='cpu')
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, 'detach') else t)
+
+
+# --- collation -------------------------------------------------------------
+
+
+class BatchCollate:
+    """Pad a list of items to bucketed static shapes.
+
+    Output: {'x': [B, Xb] int32, 'x_lengths': [B], 'y': [B, Yb, F] f32,
+             'y_lengths': [B] (, 'spk')} where Xb/Yb are bucket boundaries
+    (Yb always a multiple of 4 per fix_len_compatibility).
+    """
+
+    def __init__(self, x_buckets=(64, 128, 192, 256, 384, 512),
+                 y_buckets=(128, 256, 384, 512, 768, 1024, 1536, 2048),
+                 fixed_shapes: Optional[tuple] = None):
+        self.x_buckets = x_buckets
+        self.y_buckets = [fix_len_compatibility(b) for b in y_buckets]
+        self.fixed_shapes = fixed_shapes  # (Xb, Yb) to disable bucketing
+
+    def __call__(self, batch: List[Dict]) -> Dict[str, np.ndarray]:
+        B = len(batch)
+        x_max = max(item['x'].shape[-1] for item in batch)
+        y_max = fix_len_compatibility(max(item['y'].shape[0] for item in batch))
+        if self.fixed_shapes is not None:
+            xb, yb = self.fixed_shapes
+        else:
+            xb = bucket_length(x_max, self.x_buckets)
+            yb = bucket_length(y_max, self.y_buckets)
+        xb, yb = max(xb, x_max), max(yb, y_max)
+        n_feats = batch[0]['y'].shape[-1]
+
+        x = np.zeros((B, xb), np.int32)
+        y = np.zeros((B, yb, n_feats), np.float32)
+        x_lengths = np.zeros((B,), np.int32)
+        y_lengths = np.zeros((B,), np.int32)
+        for i, item in enumerate(batch):
+            xi, yi = item['x'], item['y']
+            x[i, :xi.shape[-1]] = xi
+            y[i, :yi.shape[0]] = yi
+            x_lengths[i] = xi.shape[-1]
+            y_lengths[i] = yi.shape[0]
+        out = {'x': x, 'x_lengths': x_lengths, 'y': y, 'y_lengths': y_lengths}
+        if 'spk' in batch[0]:
+            s0 = np.asarray(batch[0]['spk'])
+            if s0.dtype.kind in 'iu':  # speaker ids
+                out['spk'] = np.array(
+                    [int(np.asarray(b['spk']).reshape(-1)[0]) for b in batch],
+                    np.int32)
+            else:  # external embedding vectors
+                out['spk'] = np.stack(
+                    [np.asarray(b['spk'], np.float32).reshape(-1)
+                     for b in batch])
+        return out
+
+
+class DataLoader:
+    """Minimal epoch iterator with background prefetch.
+
+    Replaces torch DataLoader(num_workers=N): items are fetched by a thread
+    pool (audio decode + numpy mel), batches collated to static shapes and
+    queued ahead of the training step.
+    """
+
+    def __init__(self, dataset, batch_size, collate: BatchCollate,
+                 shuffle=True, seed=0, drop_last=True, num_workers=4,
+                 prefetch=2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate = collate
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else \
+            (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(order)
+        self._epoch += 1
+        batches = [order[i:i + self.batch_size]
+                   for i in range(0, len(order), self.batch_size)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        q = queue_mod.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for idx_batch in batches:
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self.dataset.__getitem__,
+                                              [int(i) for i in idx_batch]))
+                        q.put(self.collate(items))
+            except Exception as e:  # surface worker errors to the consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+def dataset_from_config(cfg: GradTTSConfig, split='train'):
+    """Build the right dataset flavor for a config preset."""
+    paths = {'train': cfg.data.train_filelist_path,
+             'valid': cfg.data.valid_filelist_path,
+             'test': cfg.data.test_filelist_path}[split]
+    kw = dict(n_fft=cfg.data.n_fft, n_mels=cfg.data.n_feats,
+              sample_rate=cfg.data.sample_rate,
+              hop_length=cfg.data.hop_length, win_length=cfg.data.win_length,
+              f_min=cfg.data.f_min, f_max=cfg.data.f_max,
+              add_blank=cfg.data.add_blank, seed=cfg.train.seed)
+    if cfg.n_spks == -1:
+        spk_paths = {'train': cfg.data.train_spk_path,
+                     'valid': cfg.data.valid_spk_path,
+                     'test': cfg.data.test_spk_path}[split]
+        return TextMelZeroSpeakerDataset(paths, spk_paths,
+                                         cfg.data.cmudict_path,
+                                         spk_emb_dim=cfg.spk_emb_dim, **kw)
+    if cfg.n_spks > 1:
+        return TextMelSpeakerDataset(paths, cfg.data.cmudict_path, **kw)
+    return TextMelDataset(paths, cfg.data.cmudict_path, **kw)

@@ -1,0 +1,163 @@
+"""Mel front-end parity vs the reference torch pipeline + dataset/collate."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gradtts_tpu.data.mel import (
+    mel_filterbank, mel_spectrogram, mel_spectrogram_np,
+    hann_window_periodic,
+)
+from gradtts_tpu.data.dataset import (
+    BatchCollate, DataLoader, TextMelDataset, TextMelSpeakerDataset,
+    bucket_length, load_wav, transform_txt,
+)
+
+CMUDICT = os.path.join(os.path.dirname(__file__), '..', 'resources',
+                       'cmu_dictionary')
+
+
+def _ref_mel(audio):
+    """Reference mel pipeline (data.py:68-91) with our filterbank in place
+    of librosa's (librosa itself is absent; filterbank parity is asserted
+    separately against its published slaney formula via golden values)."""
+    import torch
+    y = torch.tensor(audio, dtype=torch.float32)
+    n_fft, hop, win = 1024, 256, 1024
+    y = torch.nn.functional.pad(
+        y.unsqueeze(1), (int((n_fft - hop) / 2), int((n_fft - hop) / 2)),
+        mode='reflect').squeeze(1)
+    spec = torch.stft(y, n_fft, hop_length=hop, win_length=win,
+                      window=torch.hann_window(win), center=False,
+                      pad_mode='reflect', normalized=False, onesided=True,
+                      return_complex=True)
+    mag = torch.abs(spec)
+    basis = torch.tensor(mel_filterbank(22050, 1024, 80, 0.0, 8000.0))
+    mel = torch.matmul(basis, mag)
+    return torch.log(torch.clamp(mel, min=1e-5)).numpy()
+
+
+def test_hann_window_matches_torch():
+    import torch
+    np.testing.assert_allclose(hann_window_periodic(1024),
+                               torch.hann_window(1024).numpy(), atol=5e-7)
+
+
+def test_mel_filterbank_analytic():
+    """Validate the slaney filterbank against scalar math done from the
+    published definition (linear below 1 kHz: mel = 3f/200; log above:
+    mel = 15 + 27*ln(f/1000)/ln(6.4); slaney norm 2/bandwidth)."""
+    import math
+    fb = mel_filterbank(22050, 1024, 80, 0.0, 8000.0)
+    assert fb.shape == (80, 513)
+    assert fb[0, 0] == 0.0
+    mel_max = 15.0 + 27.0 * math.log(8000.0 / 1000.0) / math.log(6.4)
+    mel_step = mel_max / 81.0
+    f1 = 200.0 * mel_step / 3.0           # first mel breakpoint in Hz
+    f2 = 2.0 * f1
+    df = 22050.0 / 2.0 / 512.0            # fft bin spacing
+    enorm = 2.0 / f2
+    # bin 1 sits on the rising slope of filter 0, bin 2 on the falling one
+    np.testing.assert_allclose(fb[0, 1], (df / f1) * enorm, rtol=1e-5)
+    np.testing.assert_allclose(fb[0, 2], ((f2 - 2 * df) / f1) * enorm,
+                               rtol=1e-5)
+    # the peak of filter m sits at mel breakpoint m+1
+    for m in (10, 40, 79):
+        f_peak_mel = (m + 1) * mel_step
+        f_peak = (200.0 * f_peak_mel / 3.0 if f_peak_mel < 15.0
+                  else 1000.0 * math.exp(math.log(6.4) / 27.0
+                                         * (f_peak_mel - 15.0)))
+        assert abs(np.argmax(fb[m]) * df - f_peak) <= df
+    assert (fb >= 0).all()
+    assert np.count_nonzero(fb.sum(1) > 0) == 80
+    try:
+        import librosa
+        ref = librosa.filters.mel(sr=22050, n_fft=1024, n_mels=80,
+                                  fmin=0.0, fmax=8000.0)
+        np.testing.assert_allclose(fb, ref, atol=1e-6)
+    except ImportError:
+        pass
+
+
+def test_mel_matches_reference_pipeline():
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(22050) * 0.1).astype(np.float32)[None]
+    ref = _ref_mel(audio)  # [1, 80, T]
+    ours = np.array(mel_spectrogram(audio))  # [1, T, 80]
+    assert ours.shape[1] == ref.shape[2]
+    np.testing.assert_allclose(ours.transpose(0, 2, 1), ref, atol=2e-4)
+    ours_np = mel_spectrogram_np(audio)
+    np.testing.assert_allclose(ours_np.transpose(0, 2, 1), ref, atol=2e-4)
+
+
+def _write_wav(path, sr=22050, seconds=0.6, seed=0):
+    from scipy.io import wavfile
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(sr * seconds)) / sr
+    wav = (0.3 * np.sin(2 * np.pi * 220 * t)
+           + 0.05 * rng.standard_normal(t.shape)).astype(np.float32)
+    wavfile.write(path, sr, (wav * 32767).astype(np.int16))
+    return wav
+
+
+def test_load_wav_roundtrip(tmp_path):
+    p = str(tmp_path / 'a.wav')
+    wav = _write_wav(p)
+    loaded, sr = load_wav(p)
+    assert sr == 22050
+    np.testing.assert_allclose(loaded, wav, atol=1e-3)
+
+
+def test_dataset_and_collate(tmp_path):
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f'{i}.wav')
+        _write_wav(p, seconds=0.5 + 0.2 * i, seed=i)
+        paths.append(p)
+    filelist = tmp_path / 'list.txt'
+    filelist.write_text('\n'.join(
+        f'{p}|hello world number {i}' for i, p in enumerate(paths)))
+
+    ds = TextMelDataset(str(filelist), CMUDICT, shuffle=False)
+    item = ds[0]
+    assert item['x'].dtype == np.int32
+    assert item['y'].shape[-1] == 80
+    assert item['x'][0] == 148  # interspersed blank
+
+    collate = BatchCollate(x_buckets=(32, 64), y_buckets=(64, 128))
+    batch = collate([ds[i] for i in range(3)])
+    assert batch['x'].shape[1] in (32, 64)
+    assert batch['y'].shape[1] in (64, 128)
+    assert batch['y'].shape[1] % 4 == 0
+    assert (batch['y_lengths'] <= batch['y'].shape[1]).all()
+    # padded regions zero
+    b0 = batch['y'][0]
+    assert np.abs(b0[batch['y_lengths'][0]:]).max() == 0
+
+    loader = DataLoader(ds, batch_size=2, collate=collate, shuffle=True,
+                        seed=1, drop_last=True, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 1
+    assert batches[0]['x'].shape[0] == 2
+
+
+def test_speaker_dataset(tmp_path):
+    p = str(tmp_path / 's.wav')
+    _write_wav(p)
+    filelist = tmp_path / 'list.txt'
+    filelist.write_text(f'{p}|hi there|7\n{p}|bye now|3')
+    ds = TextMelSpeakerDataset(str(filelist), CMUDICT, shuffle=False)
+    batch = BatchCollate()([ds[0], ds[1]])
+    np.testing.assert_array_equal(batch['spk'], [7, 3])
+
+
+def test_transform_txt():
+    assert transform_txt("Hello [noise] (um) <sil> {x} That 's IT ") == \
+        "hello that's it"
+
+
+def test_bucket_length():
+    assert bucket_length(5, (8, 16)) == 8
+    assert bucket_length(9, (8, 16)) == 16
+    assert bucket_length(99, (8, 16)) == 16
