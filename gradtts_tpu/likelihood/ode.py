@@ -1,0 +1,172 @@
+"""Probability-flow ODE log-likelihood with Hutchinson divergence.
+
+Behavioral parity target: /root/reference/n_best/likelihood/likelihood.py
+(:27-38 divergence, :41-133 likelihood). The reference flattens the state
+to numpy and round-trips CPU<->GPU through scipy for every ODE evaluation;
+here the whole estimate — drift, jvp-based divergence probe, and the
+integrator — is one jit-compiled program that never leaves the device:
+
+- divergence: eps^T (d f/d x) eps via ``jax.jvp`` (exact directional
+  derivative; the reference uses autograd on sum(f*eps), same quantity);
+- fixed-step Euler: ``lax.scan`` over N midpoint steps (t=(i+0.5)/N),
+  matching the reference's ``euler_maruyama`` (:99-114);
+- adaptive: an embedded Dormand-Prince 5(4) with PI step control in
+  ``lax.while_loop``, tolerance-compatible with scipy RK45 (:117).
+
+Returns a NamedTuple; the reference returns a 4-tuple that its callers
+mistakenly treat as a scalar (SURVEY.md §3.3) — `.score` is the scalar
+those callers wanted (-(prior_logp + delta_logp)).
+"""
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gradtts_tpu.likelihood.sde import reverse_drift_fn
+
+
+class LikelihoodResult(NamedTuple):
+    score: jnp.ndarray        # [B] -(prior_logp + delta_logp)  (reference 'bpd')
+    prior_logp: jnp.ndarray   # [B]
+    delta_logp: jnp.ndarray   # [B]
+    z: jnp.ndarray            # latent at t = T
+    nfe: jnp.ndarray          # scalar, number of drift evaluations
+
+
+def _masked(x, sde):
+    mask = getattr(sde, 'mask', None)
+    return x * mask if mask is not None else x
+
+
+def _drift_and_div(sde, score_fn):
+    drift = reverse_drift_fn(sde, score_fn, probability_flow=True)
+
+    def masked_drift(x, t):
+        return _masked(drift(_masked(x, sde), t), sde)
+
+    def f(x, t, eps):
+        d, jvp = jax.jvp(lambda xx: masked_drift(xx, t), (x,), (eps,))
+        div = jnp.sum(jvp * eps, axis=tuple(range(1, x.ndim)))
+        return d, div
+
+    return f
+
+
+def get_likelihood_fn(sde, score_fn: Callable, hutchinson_type='Rademacher',
+                      rtol=1e-5, atol=1e-5, eps=1e-5, euler=0):
+    """Build likelihood_fn(key, data) -> LikelihoodResult.
+
+    euler > 0 selects the fixed-step midpoint Euler integrator with that
+    many steps; euler == 0 selects adaptive Dormand-Prince 5(4).
+    """
+    f = _drift_and_div(sde, score_fn)
+
+    def sample_eps(key, shape, dtype):
+        if hutchinson_type == 'Gaussian':
+            return jax.random.normal(key, shape, dtype)
+        if hutchinson_type == 'Rademacher':
+            return (jax.random.randint(key, shape, 0, 2).astype(dtype)
+                    * 2.0 - 1.0)
+        raise NotImplementedError(hutchinson_type)
+
+    def likelihood_fn(key, data):
+        data = _masked(data, sde)
+        epsilon = sample_eps(key, data.shape, data.dtype)
+        B = data.shape[0]
+
+        if euler > 0:
+            h = 1.0 / euler
+
+            def step(carry, i):
+                x, dlp = carry
+                t = (i + 0.5) * h * jnp.ones((B,), data.dtype)
+                d, div = f(x, t, epsilon)
+                return (x + d * h, dlp + div * h), None
+
+            (z, delta_logp), _ = jax.lax.scan(
+                step, (data, jnp.zeros((B,), data.dtype)),
+                jnp.arange(euler, dtype=data.dtype))
+            nfe = jnp.asarray(euler)
+        else:
+            z, delta_logp, nfe = _dopri54(f, data, epsilon, t0=eps,
+                                          t1=sde.T, rtol=rtol, atol=atol)
+
+        prior_logp = sde.prior_logp(z)
+        score = -(prior_logp + delta_logp)
+        return LikelihoodResult(score, prior_logp, delta_logp, z, nfe)
+
+    return likelihood_fn
+
+
+# --- adaptive Dormand-Prince 5(4) ----------------------------------------
+
+_DP_A = [
+    [],
+    [1 / 5],
+    [3 / 40, 9 / 40],
+    [44 / 45, -56 / 15, 32 / 9],
+    [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729],
+    [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656],
+    [35 / 384, 0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84],
+]
+_DP_C = [0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1, 1]
+_DP_B5 = [35 / 384, 0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0]
+_DP_B4 = [5179 / 57600, 0, 7571 / 16695, 393 / 640, -92097 / 339200,
+          187 / 2100, 1 / 40]
+
+
+def _dopri54(f, x0, epsilon, t0, t1, rtol, atol, max_steps=10_000):
+    """Integrate (x, delta_logp) from t0 to t1. The divergence rides along
+    as an extra state coordinate, like the reference's concatenated flat
+    vector (likelihood.py:96-97)."""
+    B = x0.shape[0]
+    dtype = x0.dtype
+
+    def eval_rhs(x, dlp, t):
+        d, div = f(x, t * jnp.ones((B,), dtype), epsilon)
+        return d, div
+
+    def err_norm(e_x, e_d, x_a, x_b, d_a, d_b):
+        scale_x = atol + rtol * jnp.maximum(jnp.abs(x_a), jnp.abs(x_b))
+        scale_d = atol + rtol * jnp.maximum(jnp.abs(d_a), jnp.abs(d_b))
+        n = x_a.size + d_a.size
+        s = (jnp.sum((e_x / scale_x) ** 2) + jnp.sum((e_d / scale_d) ** 2))
+        return jnp.sqrt(s / n)
+
+    def cond(state):
+        t, x, dlp, h, nfe, done = state
+        return jnp.logical_and(~done, nfe < max_steps)
+
+    def body(state):
+        t, x, dlp, h, nfe, done = state
+        h = jnp.minimum(h, t1 - t)
+        ks_x, ks_d = [], []
+        for i in range(7):
+            xi = x
+            di = dlp
+            for j, a in enumerate(_DP_A[i]):
+                xi = xi + h * a * ks_x[j]
+                di = di + h * a * ks_d[j]
+            kx, kd = eval_rhs(xi, di, t + _DP_C[i] * h)
+            ks_x.append(kx)
+            ks_d.append(kd)
+        x5 = x + h * sum(b * k for b, k in zip(_DP_B5, ks_x))
+        d5 = dlp + h * sum(b * k for b, k in zip(_DP_B5, ks_d))
+        x4 = x + h * sum(b * k for b, k in zip(_DP_B4, ks_x))
+        d4 = dlp + h * sum(b * k for b, k in zip(_DP_B4, ks_d))
+        err = err_norm(x5 - x4, d5 - d4, x, x5, dlp, d5)
+        accept = err <= 1.0
+        t_new = jnp.where(accept, t + h, t)
+        x_new = jnp.where(accept, x5, x)
+        d_new = jnp.where(accept, d5, dlp)
+        factor = jnp.clip(0.9 * (err + 1e-12) ** (-0.2), 0.2, 5.0)
+        h_new = h * factor
+        done_new = t_new >= t1 - 1e-12
+        return (t_new, x_new, d_new, h_new, nfe + 7, done_new)
+
+    h0 = jnp.asarray((t1 - t0) * 0.01, dtype)
+    state = (jnp.asarray(t0, dtype), x0, jnp.zeros((B,), dtype), h0,
+             jnp.asarray(0), jnp.asarray(False))
+    t, x, dlp, h, nfe, done = jax.lax.while_loop(cond, body, state)
+    return x, dlp, nfe

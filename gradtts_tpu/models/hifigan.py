@@ -1,0 +1,330 @@
+"""HiFi-GAN vocoder (V1 generator + MPD/MSD discriminators + GAN losses).
+
+Behavioral parity targets: /root/reference/hifi-gan/models.py — Generator
+(:77-127), ResBlock1 (:13-50), ResBlock2 (:53-75), DiscriminatorP/MPD
+(:130-190), DiscriminatorS/MSD (:193-250), losses (:253-284), config at
+/root/reference/checkpts/hifigan-config.json (upsample 8*8*2*2 = 256x).
+
+TPU-first design:
+- [B, T, C] layout; the transposed 1-D upsample convs are expressed as
+  direct convs over a dilated input (same trick as the U-Net Upsample),
+  bit-matching torch ConvTranspose1d(k, s, padding=(k-s)//2);
+- weight norm is FOLDED at conversion time (inference path): torch
+  checkpoints store weight_g/weight_v and the reference calls
+  remove_weight_norm() before inference (models.py:120-127) — the converter
+  reproduces that fold, so our module holds plain kernels;
+- for our own (from-scratch) GAN training, plain kernels are trained
+  directly (weight norm is a reparameterization with no inference effect).
+"""
+
+import json
+import math
+from dataclasses import dataclass, field
+from typing import Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+LRELU_SLOPE = 0.1
+
+
+@dataclass(frozen=True)
+class HiFiGANConfig:
+    resblock: str = '1'
+    upsample_rates: Tuple[int, ...] = (8, 8, 2, 2)
+    upsample_kernel_sizes: Tuple[int, ...] = (16, 16, 4, 4)
+    upsample_initial_channel: int = 512
+    resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: Tuple[Tuple[int, ...], ...] = (
+        (1, 3, 5), (1, 3, 5), (1, 3, 5))
+    num_mels: int = 80
+    sampling_rate: int = 22050
+
+    @classmethod
+    def from_json(cls, path_or_dict):
+        d = path_or_dict
+        if isinstance(d, str):
+            with open(d) as f:
+                d = json.load(f)
+        keep = {k: (tuple(tuple(x) if isinstance(x, list) else x for x in v)
+                    if isinstance(v, list) else v)
+                for k, v in d.items() if k in cls.__dataclass_fields__}
+        return cls(**keep)
+
+
+def _dilated_conv1d(features, kernel_size, dilation, name):
+    pad = (kernel_size * dilation - dilation) // 2
+    return nn.Conv(features, (kernel_size,), kernel_dilation=(dilation,),
+                   padding=[(pad, pad)], name=name)
+
+
+class ConvTranspose1dTorch(nn.Module):
+    """torch ConvTranspose1d(in, out, k, stride u, padding (k-u)//2)
+    as a direct conv over an lhs-dilated input."""
+    features: int
+    kernel_size: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x):
+        k, u = self.kernel_size, self.stride
+        p = (k - u) // 2
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (k, x.shape[-1], self.features))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        y = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1,), padding=((k - 1 - p, k - 1 - p),),
+            lhs_dilation=(u,), dimension_numbers=('NHC', 'HIO', 'NHC'))
+        return y + bias
+
+
+class ResBlock1(nn.Module):
+    """3x (lrelu -> dilated conv -> lrelu -> conv) with residuals
+    (parity: models.py:13-50)."""
+    channels: int
+    kernel_size: int = 3
+    dilation: Tuple[int, ...] = (1, 3, 5)
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dilation):
+            xt = nn.leaky_relu(x, LRELU_SLOPE)
+            xt = _dilated_conv1d(self.channels, self.kernel_size, d,
+                                 f'convs1_{i}')(xt)
+            xt = nn.leaky_relu(xt, LRELU_SLOPE)
+            xt = _dilated_conv1d(self.channels, self.kernel_size, 1,
+                                 f'convs2_{i}')(xt)
+            x = xt + x
+        return x
+
+
+class ResBlock2(nn.Module):
+    """2x (lrelu -> dilated conv) with residuals (parity: models.py:53-75)."""
+    channels: int
+    kernel_size: int = 3
+    dilation: Tuple[int, ...] = (1, 3)
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dilation):
+            xt = nn.leaky_relu(x, LRELU_SLOPE)
+            xt = _dilated_conv1d(self.channels, self.kernel_size, d,
+                                 f'convs_{i}')(xt)
+            x = xt + x
+        return x
+
+
+class Generator(nn.Module):
+    """mel [B, T, 80] -> waveform [B, T*256] (parity: models.py:77-118)."""
+    cfg: HiFiGANConfig = field(default_factory=HiFiGANConfig)
+
+    @nn.compact
+    def __call__(self, x):
+        h = self.cfg
+        num_kernels = len(h.resblock_kernel_sizes)
+        x = nn.Conv(h.upsample_initial_channel, (7,), padding=[(3, 3)],
+                    name='conv_pre')(x)
+        resblock_cls = ResBlock1 if h.resblock == '1' else ResBlock2
+        for i, (u, k) in enumerate(zip(h.upsample_rates,
+                                       h.upsample_kernel_sizes)):
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            ch = h.upsample_initial_channel // (2 ** (i + 1))
+            x = ConvTranspose1dTorch(ch, k, u, name=f'ups_{i}')(x)
+            xs = None
+            for j, (rk, rd) in enumerate(zip(h.resblock_kernel_sizes,
+                                             h.resblock_dilation_sizes)):
+                block = resblock_cls(ch, rk, tuple(rd),
+                                     name=f'resblocks_{i * num_kernels + j}')
+                xs = block(x) if xs is None else xs + block(x)
+            x = xs / num_kernels
+        x = nn.leaky_relu(x)  # default slope 0.01, parity models.py:115
+        x = nn.Conv(1, (7,), padding=[(3, 3)], name='conv_post')(x)
+        return jnp.tanh(x)[..., 0]
+
+
+# --- discriminators (for vocoder training) --------------------------------
+
+
+class DiscriminatorP(nn.Module):
+    """Period discriminator (parity: models.py:130-163). Input [B, T]."""
+    period: int
+    kernel_size: int = 5
+    stride: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        b, t = x.shape
+        if t % self.period:
+            n_pad = self.period - (t % self.period)
+            x = jnp.pad(x, ((0, 0), (0, n_pad)), mode='reflect')
+            t = t + n_pad
+        # [B, T] -> [B, T/p, p, 1] (NHWC with W=period)
+        x = x.reshape(b, t // self.period, self.period, 1)
+        fmap = []
+        pad = (self.kernel_size - 1) // 2  # get_padding(5, 1) == 2
+        for i, ch in enumerate((32, 128, 512, 1024)):
+            x = nn.Conv(ch, (self.kernel_size, 1),
+                        strides=(self.stride, 1),
+                        padding=((pad, pad), (0, 0)), name=f'convs_{i}')(x)
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            fmap.append(x)
+        x = nn.Conv(1024, (self.kernel_size, 1), padding=((2, 2), (0, 0)),
+                    name='convs_4')(x)
+        x = nn.leaky_relu(x, LRELU_SLOPE)
+        fmap.append(x)
+        x = nn.Conv(1, (3, 1), padding=((1, 1), (0, 0)), name='conv_post')(x)
+        fmap.append(x)
+        return x.reshape(b, -1), fmap
+
+
+class DiscriminatorS(nn.Module):
+    """Scale discriminator (parity: models.py:193-218). Input [B, T]."""
+
+    @nn.compact
+    def __call__(self, x):
+        b = x.shape[0]
+        x = x[..., None]  # [B, T, 1]
+        fmap = []
+        specs = [  # (ch, k, stride, groups, pad)
+            (128, 15, 1, 1, 7), (128, 41, 2, 4, 20), (256, 41, 2, 16, 20),
+            (512, 41, 4, 16, 20), (1024, 41, 4, 16, 20),
+            (1024, 41, 1, 16, 20), (1024, 5, 1, 1, 2)]
+        for i, (ch, k, s, g, p) in enumerate(specs):
+            x = nn.Conv(ch, (k,), strides=(s,), feature_group_count=g,
+                        padding=[(p, p)], name=f'convs_{i}')(x)
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            fmap.append(x)
+        x = nn.Conv(1, (3,), padding=[(1, 1)], name='conv_post')(x)
+        fmap.append(x)
+        return x.reshape(b, -1), fmap
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    periods: Sequence[int] = (2, 3, 5, 7, 11)
+
+    @nn.compact
+    def __call__(self, y, y_hat):
+        outs = []
+        for i, p in enumerate(self.periods):
+            d = DiscriminatorP(p, name=f'discriminators_{i}')
+            outs.append((d(y), d(y_hat)))
+        y_d_rs = [o[0][0] for o in outs]
+        y_d_gs = [o[1][0] for o in outs]
+        fmap_rs = [o[0][1] for o in outs]
+        fmap_gs = [o[1][1] for o in outs]
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs
+
+
+def _avg_pool1d(x, window=4, stride=2, padding=2):
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, window), (1, stride),
+        ((0, 0), (padding, padding))) / window
+
+
+class MultiScaleDiscriminator(nn.Module):
+    n_scales: int = 3
+
+    @nn.compact
+    def __call__(self, y, y_hat):
+        y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        for i in range(self.n_scales):
+            if i != 0:
+                y = _avg_pool1d(y)
+                y_hat = _avg_pool1d(y_hat)
+            d = DiscriminatorS(name=f'discriminators_{i}')
+            r, fr = d(y)
+            g, fg = d(y_hat)
+            y_d_rs.append(r)
+            y_d_gs.append(g)
+            fmap_rs.append(fr)
+            fmap_gs.append(fg)
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs
+
+
+def feature_loss(fmap_r, fmap_g):
+    loss = 0.0
+    for dr, dg in zip(fmap_r, fmap_g):
+        for rl, gl in zip(dr, dg):
+            loss += jnp.mean(jnp.abs(rl - gl))
+    return loss * 2
+
+
+def discriminator_loss(disc_real, disc_gen):
+    loss = 0.0
+    r_losses, g_losses = [], []
+    for dr, dg in zip(disc_real, disc_gen):
+        r = jnp.mean((1 - dr) ** 2)
+        g = jnp.mean(dg ** 2)
+        loss += r + g
+        r_losses.append(r)
+        g_losses.append(g)
+    return loss, r_losses, g_losses
+
+
+def generator_loss(disc_outputs):
+    loss = 0.0
+    gen_losses = []
+    for dg in disc_outputs:
+        l = jnp.mean((1 - dg) ** 2)
+        gen_losses.append(l)
+        loss += l
+    return loss, gen_losses
+
+
+# --- torch checkpoint conversion (with weight-norm folding) ---------------
+
+
+def _fold_weight_norm(sd, base):
+    """weight = g * v / ||v|| over all dims except dim 0 (torch
+    weight_norm default)."""
+    g = np.asarray(sd[base + '.weight_g'])
+    v = np.asarray(sd[base + '.weight_v'])
+    axes = tuple(range(1, v.ndim))
+    norm = np.sqrt((v ** 2).sum(axis=axes, keepdims=True))
+    return g * v / norm
+
+
+def _get_weight(sd, base):
+    if base + '.weight_g' in sd:
+        return _fold_weight_norm(sd, base)
+    return np.asarray(sd[base + '.weight'])
+
+
+def hifigan_torch_to_flax(state_dict, cfg: HiFiGANConfig):
+    """Reference generator checkpoint (the dict under the 'generator' key,
+    inference.py:74) -> flax params for :class:`Generator`."""
+    sd = {k: np.asarray(getattr(v, 'detach', lambda: v)().cpu().numpy()
+                        if hasattr(v, 'detach') else v)
+          for k, v in state_dict.items()}
+    params = {}
+
+    def conv1d(base):
+        w = _get_weight(sd, base)  # (O, I, K)
+        return {'kernel': w.transpose(2, 1, 0).astype(np.float32),
+                'bias': sd[base + '.bias'].astype(np.float32)}
+
+    def convT1d(base):
+        w = _get_weight(sd, base)  # (I, O, K)
+        k = w.transpose(2, 0, 1)[::-1].copy().astype(np.float32)  # (K, I, O) flipped
+        return {'kernel': k, 'bias': sd[base + '.bias'].astype(np.float32)}
+
+    params['conv_pre'] = conv1d('conv_pre')
+    params['conv_post'] = conv1d('conv_post')
+    for i in range(len(cfg.upsample_rates)):
+        params[f'ups_{i}'] = convT1d(f'ups.{i}')
+    num_kernels = len(cfg.resblock_kernel_sizes)
+    n_blocks = len(cfg.upsample_rates) * num_kernels
+    for b in range(n_blocks):
+        block = {}
+        if cfg.resblock == '1':
+            for j in range(len(cfg.resblock_dilation_sizes[b % num_kernels])):
+                block[f'convs1_{j}'] = conv1d(f'resblocks.{b}.convs1.{j}')
+                block[f'convs2_{j}'] = conv1d(f'resblocks.{b}.convs2.{j}')
+        else:
+            for j in range(len(cfg.resblock_dilation_sizes[b % num_kernels])):
+                block[f'convs_{j}'] = conv1d(f'resblocks.{b}.convs.{j}')
+        params[f'resblocks_{b}'] = block
+    return {'params': params}

@@ -1,0 +1,81 @@
+"""Device mesh and sharding rules.
+
+The reference has no multi-device path at all (single .cuda() device,
+SURVEY.md §2.5); here distribution is native: a ('data', 'model') mesh,
+batches sharded over 'data' (XLA inserts psum for gradients over ICI), and
+an optional tensor-parallel 'model' axis that shards the wide channel
+dimensions of the U-Net and encoder FFN weights.
+"""
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = -1, model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a ('data', 'model') mesh. data == -1 uses all remaining
+    devices after the model axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if model < 1 or n % model:
+        raise ValueError(f'model axis {model} must divide device count {n}')
+    if data == -1:
+        data = n // model
+    if data * model != n:
+        raise ValueError(f'mesh {data}x{model} != {n} devices')
+    arr = np.array(devices).reshape(data, model)
+    return Mesh(arr, ('data', 'model'))
+
+
+def batch_sharding(mesh: Mesh):
+    """Shard the leading batch axis over 'data', replicate the rest."""
+    def shard(x):
+        spec = P('data', *([None] * (np.ndim(x) - 1))) if np.ndim(x) else P()
+        return NamedSharding(mesh, spec)
+    return shard
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    fn = batch_sharding(mesh)
+    return {k: jax.device_put(v, fn(v)) for k, v in batch.items()}
+
+
+# --- parameter sharding rules (tensor parallelism) ------------------------
+
+# Param-path substrings whose kernels are worth sharding when the 'model'
+# axis is > 1: the wide FFN/attention projections in the encoder and every
+# conv/dense kernel in the U-Net. Sharding is over the OUTPUT channel (last
+# axis); XLA all-gathers activations as needed over ICI.
+_TP_HINTS = ('ffn_layers', 'conv_q', 'conv_k', 'conv_v', 'conv_o',
+             'to_qkv', 'to_out', 'block1', 'block2', 'res_conv',
+             'mlp_dense', 'spk_mlp', 'mlp_0', 'mlp_2')
+
+
+def param_pspec(path, leaf, model_size: int) -> P:
+    """PartitionSpec for one parameter leaf."""
+    if model_size <= 1:
+        return P()
+    names = [getattr(k, 'key', str(k)) for k in path]
+    joined = '/'.join(names)
+    shape = np.shape(leaf)
+    if (len(shape) >= 2 and names[-1] == 'kernel'
+            and any(h in joined for h in _TP_HINTS)
+            and shape[-1] % model_size == 0):
+        return P(*([None] * (len(shape) - 1) + ['model']))
+    return P()
+
+
+def param_shardings(mesh: Mesh, params):
+    model_size = mesh.shape.get('model', 1)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(
+            mesh, param_pspec(path, leaf, model_size)),
+        params)
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())

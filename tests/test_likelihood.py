@@ -1,0 +1,166 @@
+"""Probability-flow ODE likelihood: analytic exactness + reference parity."""
+
+import math
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gradtts_tpu.likelihood.ode import get_likelihood_fn
+from gradtts_tpu.likelihood.sde import SpeechSDE, VPSDE, VESDE, SubVPSDE
+
+B, T, F = 2, 8, 4
+N_EVENT = T * F
+
+
+def _gauss_logp(x, mu, var=1.0):
+    return (-0.5 * np.sum((x - mu) ** 2, axis=(1, 2)) / var
+            - N_EVENT / 2.0 * math.log(2 * math.pi * var))
+
+
+def test_vpsde_analytic_likelihood():
+    """With the TRUE score of p_t for p_0 = N(0, I), the ODE likelihood is
+    the exact Gaussian density (and Hutchinson is exact here because the
+    Jacobian is isotropic)."""
+    sde = VPSDE(beta_min=0.05, beta_max=20.0, N=1000)
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((B, T, F)).astype(np.float32)
+
+    def score_fn(x, t):
+        # p_t = N(0, decay^2 * 1 + (1 - decay^2)) = N(0, 1) for s0=1
+        return -x
+
+    for euler in (200, 0):
+        fn = get_likelihood_fn(sde, score_fn, euler=euler)
+        res = jax.jit(fn)(jax.random.PRNGKey(0), jnp.array(data))
+        expected = _gauss_logp(data, 0.0)
+        got = -(np.array(res.score))  # score = -(logp)
+        np.testing.assert_allclose(got, expected, rtol=2e-3, atol=5e-2)
+
+
+def test_speech_sde_analytic_likelihood():
+    """SpeechSDE with p_0 = N(mu, I): true score -(x - mu), likelihood must
+    equal N(data; mu, I)."""
+    rng = np.random.default_rng(1)
+    mu = rng.standard_normal((B, T, F)).astype(np.float32)
+    mask = np.ones((B, T, 1), np.float32)
+    sde = SpeechSDE(beta_min=0.05, beta_max=20.0, N=1000,
+                    mu=jnp.array(mu), mask=jnp.array(mask))
+    data = (mu + rng.standard_normal((B, T, F))).astype(np.float32)
+
+    def score_fn(x, t):
+        return -(x - mu)
+
+    fn = get_likelihood_fn(sde, score_fn, euler=300)
+    res = jax.jit(fn)(jax.random.PRNGKey(0), jnp.array(data))
+    expected = _gauss_logp(data, mu)
+    np.testing.assert_allclose(-np.array(res.score), expected, rtol=2e-3,
+                               atol=5e-2)
+    # adaptive integrator agrees with fixed-step
+    fn2 = get_likelihood_fn(sde, score_fn, euler=0)
+    res2 = jax.jit(fn2)(jax.random.PRNGKey(0), jnp.array(data))
+    np.testing.assert_allclose(np.array(res2.score), np.array(res.score),
+                               rtol=1e-3, atol=5e-2)
+    assert int(res2.nfe) > 0
+
+
+def test_euler_matches_reference_torch_engine():
+    """Fixed-step Euler parity with the reference likelihood engine
+    (likelihood.py:99-114) on the same linear score and identical
+    Hutchinson noise."""
+    torch = pytest.importorskip('torch')
+    if '/root/reference/n_best' not in sys.path:
+        sys.path.insert(0, '/root/reference/n_best')
+    from likelihood import likelihood as ref_likelihood
+    from likelihood import sde_lib as ref_sde_lib
+
+    rng = np.random.default_rng(2)
+    mu = rng.standard_normal((B, T, F)).astype(np.float32)
+    mask = np.ones((B, T, 1), np.float32)
+    data = rng.standard_normal((B, T, F)).astype(np.float32)
+    eps_np = (rng.integers(0, 2, (B, T, F)).astype(np.float32) * 2 - 1)
+
+    # torch side: [B, F, T] layout
+    t_mu = torch.tensor(mu.transpose(0, 2, 1))
+    t_mask = torch.tensor(mask.transpose(0, 2, 1))
+    t_sde = ref_sde_lib.SPEECHSDE(0.05, 20.0, 1000, t_mu, None, t_mask)
+
+    class LinScore(torch.nn.Module):
+        def forward(self, x, t):
+            return -0.7 * x + 0.2 * t_mu
+
+    # inject our epsilon (reference draws Rademacher via randint_like)
+    orig = torch.randint_like
+    t_eps = torch.tensor(eps_np.transpose(0, 2, 1))
+
+    def fake_randint_like(x, low=0, high=2):
+        return (t_eps + 1) / 2  # will be mapped back by *2-1
+
+    torch.randint_like = fake_randint_like
+    try:
+        ref_fn = ref_likelihood.get_likelihood_fn(
+            t_sde, None, hutchinson_type='Rademacher', euler=50)
+        bpd, prior_logp, delta_logp, z = ref_fn(LinScore(),
+                                                torch.tensor(
+                                                    data.transpose(0, 2, 1)))
+    finally:
+        torch.randint_like = orig
+
+    # jax side, same epsilon via a fixed-noise hook
+    j_sde = SpeechSDE(beta_min=0.05, beta_max=20.0, N=1000,
+                      mu=jnp.array(mu), mask=jnp.array(mask))
+
+    def score_fn(x, t):
+        return -0.7 * x + 0.2 * jnp.array(mu)
+
+    import gradtts_tpu.likelihood.ode as ode_mod
+    fn = get_likelihood_fn(j_sde, score_fn, euler=50)
+    # monkeypatch the epsilon sampler deterministically
+    res = _run_with_fixed_eps(j_sde, score_fn, jnp.array(data),
+                              jnp.array(eps_np), euler=50)
+    np.testing.assert_allclose(np.array(res.score), bpd.numpy(), rtol=1e-4,
+                               atol=1e-2)
+    np.testing.assert_allclose(np.array(res.prior_logp), prior_logp.numpy(),
+                               rtol=1e-4, atol=1e-2)
+
+
+def _run_with_fixed_eps(sde, score_fn, data, epsilon, euler):
+    """Same math as get_likelihood_fn but with injected Hutchinson noise."""
+    from gradtts_tpu.likelihood.ode import (
+        LikelihoodResult, _drift_and_div, _masked,
+    )
+    f = _drift_and_div(sde, score_fn)
+    data = _masked(data, sde)
+    h = 1.0 / euler
+    Bd = data.shape[0]
+
+    def step(carry, i):
+        x, dlp = carry
+        t = (i + 0.5) * h * jnp.ones((Bd,), data.dtype)
+        d, div = f(x, t, epsilon)
+        return (x + d * h, dlp + div * h), None
+
+    (z, delta_logp), _ = jax.lax.scan(
+        step, (data, jnp.zeros((Bd,), data.dtype)),
+        jnp.arange(euler, dtype=data.dtype))
+    prior_logp = sde.prior_logp(z)
+    return LikelihoodResult(-(prior_logp + delta_logp), prior_logp,
+                            delta_logp, z, jnp.asarray(euler))
+
+
+def test_other_sdes_smoke():
+    rng = np.random.default_rng(3)
+    x = jnp.array(rng.standard_normal((B, T, F)).astype(np.float32))
+    t = jnp.array([0.3, 0.8], jnp.float32)
+    for sde in (VPSDE(), SubVPSDE(), VESDE()):
+        drift, diff = sde.sde(x, t)
+        assert drift.shape == x.shape
+        mean, std = sde.marginal_prob(x, t)
+        assert mean.shape == x.shape
+        lp = sde.prior_logp(x)
+        assert lp.shape == (B,)
+        z = sde.prior_sampling(jax.random.PRNGKey(0), x.shape)
+        assert z.shape == x.shape
