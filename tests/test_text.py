@@ -20,7 +20,7 @@ def test_symbol_table_shape():
     assert BLANK_ID == 148
     assert symbols[0] == '_'
     assert symbols[1] == '-'
-    assert SYMBOL_TO_ID['a'] == 39  # 2 + 10 + 26 + 1 ('a' after A-Z)
+    assert SYMBOL_TO_ID['a'] == 38  # 2 + 10 + 26 ('a' is first after A-Z)
     assert symbols[-1] == '@ZH'
 
 
@@ -63,7 +63,8 @@ def test_intersperse():
     ('17', 'seventeen'),
     ('$2.50', 'two dollars, fifty cents'),
     ('$1', 'one dollar'),
-    ('3.14', 'three point one four'),
+    # reference pipeline: '3.14' -> '3 point 14' -> per-number expansion
+    ('3.14', 'three point fourteen'),
     ('21st', 'twenty-first'),
     ('3rd', 'third'),
     ('12,345', 'twelve thousand, three hundred forty-five'),
