@@ -1,0 +1,172 @@
+"""Objective evaluation: YIN F0, DTW, mcep, metric formulas, MCD tool."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gradtts_tpu.eval import (
+    align, dtw_path, evaluate_pair, f0_frame_error, gross_pitch_error,
+    log_f0_rmse, mcd, mcep_from_waveform, voicing_decision_error,
+    warp_frequency, yin_f0, evaluate_mcd_dirs,
+)
+
+FS = 16000
+
+
+def _tone(f0, seconds=0.5, fs=FS, amp=0.3):
+    t = np.arange(int(seconds * fs)) / fs
+    return amp * np.sin(2 * np.pi * f0 * t)
+
+
+# --- YIN -------------------------------------------------------------------
+
+
+def test_yin_pure_tone():
+    for f0 in (110.0, 220.0, 330.0):
+        track = yin_f0(_tone(f0), FS)
+        voiced = track[track > 0]
+        assert voiced.size > 0.8 * track.size
+        np.testing.assert_allclose(np.median(voiced), f0, rtol=0.02)
+
+
+def test_yin_silence_is_unvoiced():
+    track = yin_f0(np.zeros(8000), FS)
+    assert np.all(track == 0)
+
+
+def test_yin_noise_mostly_unvoiced():
+    rng = np.random.default_rng(0)
+    track = yin_f0(rng.standard_normal(8000) * 0.1, FS)
+    assert np.mean(track > 0) < 0.35
+
+
+def test_yin_voiced_unvoiced_boundary():
+    x = np.concatenate([_tone(220, 0.3), np.zeros(FS // 4)])
+    track = yin_f0(x, FS)
+    third = len(track) // 3
+    assert np.mean(track[:third] > 0) > 0.8
+    assert np.mean(track[-third:] > 0) < 0.2
+
+
+# --- DTW -------------------------------------------------------------------
+
+
+def test_dtw_identity():
+    a = np.random.default_rng(0).standard_normal((10, 3))
+    cost, path = dtw_path(a, a)
+    assert cost == pytest.approx(0.0, abs=1e-6)
+    assert path == [(i, i) for i in range(10)]
+
+
+def test_dtw_shift_alignment():
+    a = np.array([[0.], [0.], [1.], [2.], [3.]])
+    b = np.array([[0.], [1.], [2.], [3.]])
+    cost, path = dtw_path(a, b)
+    assert cost == pytest.approx(0.0)
+    ai, bi = np.array(path).T
+    # aligned values must match exactly
+    np.testing.assert_array_equal(a[ai], b[bi])
+
+
+def test_dtw_monotone_and_complete():
+    rng = np.random.default_rng(1)
+    a, b = rng.standard_normal((12, 2)), rng.standard_normal((7, 2))
+    _, path = dtw_path(a, b)
+    ai, bi = np.array(path).T
+    assert path[0] == (0, 0) and path[-1] == (11, 6)
+    assert np.all(np.diff(ai) >= 0) and np.all(np.diff(bi) >= 0)
+    assert np.all((np.diff(ai) + np.diff(bi)) >= 1)
+
+
+# --- mcep ------------------------------------------------------------------
+
+
+def test_warp_frequency_endpoints_and_inverse():
+    om = np.linspace(0, np.pi, 50)
+    w = warp_frequency(om, 0.42)
+    assert w[0] == pytest.approx(0.0)
+    assert w[-1] == pytest.approx(np.pi)
+    assert np.all(np.diff(w) > 0)
+    np.testing.assert_allclose(warp_frequency(w, -0.42), om, atol=1e-9)
+
+
+def test_mcep_shapes_and_sensitivity():
+    x = _tone(220)
+    mc = mcep_from_waveform(x, FS, n_fft=512, n_shift=256, order=23,
+                            alpha=0.42)
+    assert mc.shape == ((len(x) - 512) // 256 + 1, 24)
+    mc2 = mcep_from_waveform(_tone(440), FS, n_fft=512, n_shift=256,
+                             order=23, alpha=0.42)
+    # different spectra -> different cepstra
+    assert np.mean(np.abs(mc.mean(0) - mc2.mean(0))) > 1e-3
+
+
+def test_mcd_zero_for_identical():
+    x = _tone(220)
+    mc = mcep_from_waveform(x, FS)
+    assert mcd(mc, mc) == pytest.approx(0.0)
+    assert mcd(mc, mc, use_dtw=False) == pytest.approx(0.0)
+
+
+# --- F0 metric formulas (hand values) -------------------------------------
+
+
+def test_f0_metric_formulas():
+    true_f = np.array([100.0, 100.0, 0.0, 200.0, 0.0])
+    est_f = np.array([100.0, 150.0, 50.0, 0.0, 0.0])
+    # both-voiced frames: idx 0, 1; gross errors among them: idx 1 (50% off)
+    assert gross_pitch_error(true_f, est_f) == pytest.approx(1 / 2)
+    # voicing mismatches: idx 2 (est voiced), idx 3 (est unvoiced) -> 2/5
+    assert voicing_decision_error(true_f, est_f) == pytest.approx(2 / 5)
+    # ffe = (gpe_frames + vde_frames) / len = (1 + 2)/5
+    assert f0_frame_error(true_f, est_f) == pytest.approx(3 / 5)
+    # log rmse over both-voiced frames 0,1
+    expected = np.sqrt(np.mean([0.0, (np.log(150) - np.log(100)) ** 2]))
+    assert log_f0_rmse(true_f, est_f) == pytest.approx(expected)
+
+
+# --- end-to-end pair evaluation -------------------------------------------
+
+
+def test_evaluate_pair_self_is_perfect():
+    x = _tone(220, 0.6)
+    m = evaluate_pair(x, x, FS)
+    assert m['mcd'] == pytest.approx(0.0, abs=1e-9)
+    assert m['log_f0_rmse'] == pytest.approx(0.0, abs=1e-9)
+    assert m['gpe'] == 0.0 and m['vde'] == 0.0 and m['ffe'] == 0.0
+
+
+def test_evaluate_pair_detects_pitch_shift():
+    a = _tone(200, 0.6)
+    b = _tone(300, 0.6)
+    m = evaluate_pair(a, b, FS)
+    assert m['gpe'] > 0.5                      # 50% off >> 20% band
+    expected = abs(np.log(200) - np.log(300))
+    assert m['log_f0_rmse'] == pytest.approx(expected, rel=0.1)
+    assert m['mcd'] > 0.5
+
+
+# --- MCD tool --------------------------------------------------------------
+
+
+def test_evaluate_mcd_dirs(tmp_path):
+    from scipy.io import wavfile
+    gen, gt = tmp_path / 'gen', tmp_path / 'gt'
+    gen.mkdir()
+    gt.mkdir()
+    for i, f0 in enumerate([220.0, 330.0]):
+        ref = _tone(f0)
+        pred = _tone(f0 * 1.01)
+        wavfile.write(str(gt / f'utt{i}.wav'), FS,
+                      (ref * 32767).astype(np.int16))
+        wavfile.write(str(gen / f'utt{i}_gen.wav'), FS,
+                      (pred * 32767).astype(np.int16))
+    out = tmp_path / 'out'
+    mcd_dict = evaluate_mcd_dirs(str(gen), str(gt), outdir=str(out), nj=2,
+                                 n_fft=512, n_shift=256)
+    assert sorted(mcd_dict) == ['utt0', 'utt1']
+    assert all(np.isfinite(v) and v >= 0 for v in mcd_dict.values())
+    utt2mcd = (out / 'utt2mcd').read_text().strip().splitlines()
+    assert len(utt2mcd) == 2 and utt2mcd[0].startswith('utt0 ')
+    assert (out / 'mcd_avg_result.txt').exists()
