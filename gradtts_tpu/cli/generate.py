@@ -1,0 +1,125 @@
+"""Batch test-set synthesis CLI.
+
+Behavioral parity target: /root/reference/generate.py:53-110 — synthesize
+the whole (zero-speaker) test split, vocode, and dump wavs + mel plots per
+(batch, item) for evaluation.
+
+TPU-first deviation: the reference loops utterance-by-utterance through a
+speechbrain 16 kHz HiFi-GAN; here batches are synthesized in one compiled
+program per bucket and vocoded with our flax HiFi-GAN generator (any
+checkpoint; pass the 16 kHz config/weights for parity with speechbrain's).
+
+  python -m gradtts_tpu.cli.generate -o OUTDIR -c CKPT [-t 10] \
+      [--preset tedlium] [--vocoder hifigan.pt] [--vocoder-config cfg.json] \
+      [--split test] [--batch-size 8] [--cpu]
+"""
+
+import argparse
+import os
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument('-o', '--output_dir', required=True)
+    parser.add_argument('-c', '--checkpoint', required=True)
+    parser.add_argument('-t', '--timesteps', type=int, default=10)
+    parser.add_argument('--preset', default='tedlium')
+    parser.add_argument('--split', default='test')
+    parser.add_argument('--vocoder', default=None)
+    parser.add_argument('--vocoder-config', default=None)
+    parser.add_argument('--batch-size', type=int, default=8)
+    parser.add_argument('--temperature', type=float, default=1.5)
+    parser.add_argument('--plots', action='store_true',
+                        help='save generated/reference mel heatmaps')
+    parser.add_argument('--cpu', action='store_true')
+    parser.add_argument('--seed', type=int, default=0)
+    args = parser.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update('jax_platforms', 'cpu')
+    import functools
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gradtts_tpu import get_config
+    from gradtts_tpu.cli.inference import load_acoustic_params
+    from gradtts_tpu.data.dataset import (
+        BatchCollate, DataLoader, dataset_from_config)
+    from gradtts_tpu.models import GradTTS, synthesize
+    from gradtts_tpu.utils.plotting import save_plot
+
+    cfg = get_config(args.preset)
+    model = GradTTS.from_config(cfg)
+    example_init = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32), jnp.array([8]),
+        jnp.zeros((1, 8, cfg.data.n_feats)), jnp.array([8]),
+        jnp.array([0]) if cfg.n_spks > 1 else
+        (jnp.zeros((1, cfg.spk_emb_dim)) if cfg.n_spks == -1 else None))
+    params = load_acoustic_params(args.checkpoint, model, example_init)
+
+    vocoder = vocoder_params = None
+    if args.vocoder:
+        from gradtts_tpu.models.hifigan import (
+            Generator, HiFiGANConfig, hifigan_torch_to_flax)
+        vcfg = HiFiGANConfig.from_json(args.vocoder_config) \
+            if args.vocoder_config else HiFiGANConfig()
+        vocoder = Generator(vcfg)
+        if args.vocoder.endswith(('.pt', '.pth')):
+            import torch
+            sd = torch.load(args.vocoder, map_location='cpu')
+            vocoder_params = hifigan_torch_to_flax(sd['generator'], vcfg)
+        else:
+            from gradtts_tpu.train.checkpoint import restore_checkpoint
+            vocoder_params = restore_checkpoint(args.vocoder)['params']
+
+    dataset = dataset_from_config(cfg, args.split)
+    collate = BatchCollate(x_buckets=cfg.data.x_buckets,
+                           y_buckets=cfg.data.y_buckets)
+    loader = DataLoader(dataset, args.batch_size, collate, shuffle=True,
+                        seed=args.seed)
+
+    @functools.lru_cache(maxsize=None)
+    def synth_fn(y_budget):
+        @jax.jit
+        def fn(params, x, x_lengths, key, spk):
+            return synthesize(model, params, x, x_lengths,
+                              n_timesteps=args.timesteps,
+                              y_max_length=y_budget, key=key,
+                              temperature=args.temperature, spk=spk)
+        return fn
+
+    from scipy.io import wavfile
+    from tqdm import tqdm
+
+    key = jax.random.PRNGKey(args.seed)
+    for i, batch in enumerate(tqdm(loader)):
+        key, sub = jax.random.split(key)
+        y_budget = max(int(2 * batch['y'].shape[1]), 64)
+        y_budget += (-y_budget) % 4
+        spk = jnp.asarray(batch['spk']) if 'spk' in batch else None
+        res = synth_fn(y_budget)(params, jnp.asarray(batch['x']),
+                                 jnp.asarray(batch['x_lengths']), sub, spk)
+        out_dir = os.path.join(args.output_dir, str(i))
+        os.makedirs(out_dir, exist_ok=True)
+        for j in range(res.decoder_outputs.shape[0]):
+            length = int(res.y_lengths[j])
+            mel = np.asarray(res.decoder_outputs[j, :length])    # [T, F]
+            if vocoder is not None:
+                audio = np.asarray(vocoder.apply(vocoder_params, mel[None]))[0]
+                audio = (np.clip(audio, -1, 1) * 32767).astype(np.int16)
+                wavfile.write(os.path.join(out_dir, f'{j}.wav'),
+                              cfg.data.sample_rate, audio)
+            else:
+                np.save(os.path.join(out_dir, f'{j}.npy'), mel)
+            if args.plots:
+                ref_len = int(batch['y_lengths'][j])
+                save_plot(mel.T, os.path.join(out_dir, f'{j}_gen.png'))
+                save_plot(batch['y'][j, :ref_len].T,
+                          os.path.join(out_dir, f'{j}_ref.png'))
+    print(f'Done. Check out the `{args.output_dir}` folder.')
+
+
+if __name__ == '__main__':
+    main()

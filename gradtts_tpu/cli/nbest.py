@@ -147,6 +147,26 @@ def cmd_sweep(args):
         _dump_result(out, args.out)
 
 
+def cmd_results(args):
+    """Collect result.yaml files from sweep/rescore runs into one CSV
+    sorted by WER (parity: /root/reference/n_best/compile_results.py)."""
+    import pandas as pd
+    import yaml
+    rows = []
+    for root, _dirs, files in os.walk(args.directory):
+        for filename in files:
+            if filename.endswith('result.yaml'):
+                with open(os.path.join(root, filename)) as f:
+                    data = yaml.safe_load(f)
+                if isinstance(data, dict):
+                    rows.append(data)
+    df = pd.DataFrame(rows).sort_values('wer')
+    df.to_csv(args.out)
+    print(f'{len(rows)} results -> {args.out}')
+    if len(rows):
+        print(df.head(5).to_string())
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog='gradtts_tpu.cli.nbest')
     sub = parser.add_subparsers(dest='cmd', required=True)
@@ -193,6 +213,11 @@ def main(argv=None):
     p.add_argument('--out', default=None)
     _add_common(p)
     p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser('results', help='collect result.yaml files -> CSV')
+    p.add_argument('--directory', required=True)
+    p.add_argument('--out', default='results.csv')
+    p.set_defaults(fn=cmd_results)
 
     args = parser.parse_args(argv)
     args.fn(args)
