@@ -5,7 +5,14 @@ Prints ONE JSON line:
 
 Primary metric (per BASELINE.md): audio-seconds synthesized per wall-clock
 second per chip at 10-step Euler reverse diffusion on the flagship LJSpeech
-GradTTS (14.8M params), batched bucketed synthesis, bf16 compute.
+GradTTS (14.8M params), batched bucketed synthesis, bf16 U-Net compute
+(f32 norms / f32 sampler state).
+
+Timing methodology: on the tunneled TPU backend ``block_until_ready``
+returns before execution finishes, so dispatch-only timing overreports by
+orders of magnitude. We instead time K chained calls followed by a scalar
+device->host fetch, subtract the fetch-only constant measured separately,
+and divide by K.
 
 vs_baseline: the reference publishes no numbers (BASELINE.json
 "published": {}); the denominator is an estimate of single-GPU PyTorch
@@ -25,11 +32,12 @@ import jax.numpy as jnp
 
 A100_TORCH_EST_AUDIO_SEC_PER_SEC = 40.0
 
-B = 8           # batch of utterances
+B = 16          # batch of utterances
 TX = 128        # text bucket
 Y_BUDGET = 768  # mel-frame bucket (~8.9 s audio at 22.05 kHz / hop 256)
 N_STEPS = 10
 HOP, SR = 256, 22050
+K = 8           # chained calls per timed measurement
 
 
 def main():
@@ -37,7 +45,7 @@ def main():
     from gradtts_tpu.models import GradTTS, synthesize
 
     cfg = get_config('ljspeech')
-    model = GradTTS.from_config(cfg)
+    model = GradTTS.from_config(cfg, dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(1, cfg.n_vocab, size=(B, TX)), jnp.int32)
@@ -50,22 +58,29 @@ def main():
     def fn(params, x, x_lengths, key):
         res = synthesize(model, params, x, x_lengths, n_timesteps=N_STEPS,
                          y_max_length=Y_BUDGET, key=key)
-        return res.decoder_outputs
+        return res.decoder_outputs.sum()  # scalar: cheap to fetch
 
     jfn = jax.jit(fn)
-    # warmup/compile
-    out = jfn(params, x, x_lengths, jax.random.PRNGKey(1))
-    jax.block_until_ready(out)
 
-    iters = 5
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = jfn(params, x, x_lengths, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    # warmup/compile + tunnel spin-up (first fetch is very slow)
+    float(jfn(params, x, x_lengths, jax.random.PRNGKey(1)))
+    float(jfn(params, x, x_lengths, jax.random.PRNGKey(2)))
+
+    def timed(k, seed0):
+        t0 = time.perf_counter()
+        v = 0.0
+        for i in range(k):
+            v = jfn(params, x, x_lengths, jax.random.PRNGKey(seed0 + i))
+        float(v)  # force full pipeline drain + one host fetch
+        return time.perf_counter() - t0
+
+    # fetch-only constant: k=1 measurement; amortized over K calls
+    t1 = min(timed(1, 100), timed(1, 200))
+    tk = min(timed(K, 300), timed(K, 400))
+    per_call = max((tk - t1) / (K - 1), 1e-9)
 
     audio_sec = B * Y_BUDGET * HOP / SR  # frames actually computed per call
-    value = audio_sec / dt
+    value = audio_sec / per_call
     print(json.dumps({
         'metric': 'audio_sec_synthesized_per_sec_per_chip_10step_euler',
         'value': round(value, 3),

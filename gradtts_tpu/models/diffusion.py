@@ -55,6 +55,7 @@ class Upsample(nn.Module):
     """2x up in both (F, T) via transposed conv, torch
     ConvTranspose2d(dim, dim, 4, 2, 1) semantics (diffusion.py:21-27)."""
     dim: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -64,37 +65,43 @@ class Upsample(nn.Module):
                             (4, 4, self.dim, self.dim))
         bias = self.param('bias', nn.initializers.zeros, (self.dim,))
         y = jax.lax.conv_general_dilated(
-            x, kernel, window_strides=(1, 1), padding=((2, 2), (2, 2)),
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(1, 1), padding=((2, 2), (2, 2)),
             lhs_dilation=(2, 2),
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-        return y + bias
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            preferred_element_type=jnp.float32)
+        return (y + bias).astype(self.dtype)
 
 
 class Downsample(nn.Module):
     """2x down in both (F, T): Conv2d(dim, dim, 3, 2, 1)
     (diffusion.py:30-36)."""
     dim: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         return nn.Conv(self.dim, (3, 3), strides=(2, 2),
-                       padding=((1, 1), (1, 1)), name='conv')(x)
+                       padding=((1, 1), (1, 1)), dtype=self.dtype,
+                       name='conv')(x)
 
 
 class Block(nn.Module):
     """conv3x3 -> GroupNorm(8) -> Mish with masking (diffusion.py:49-58).
     The GroupNorm statistics include masked (zero) positions — exactly as
-    the reference computes them."""
+    the reference computes them. Conv runs in ``dtype`` (bf16 on the MXU
+    when enabled); the normalization statistics stay float32."""
     dim_out: int
     groups: int = 8
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask):
         h = nn.Conv(self.dim_out, (3, 3), padding=((1, 1), (1, 1)),
-                    name='conv')(x * mask)
+                    dtype=self.dtype, name='conv')(x * mask)
         h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
-                         name='norm')(h)
-        return mish(h) * mask
+                         dtype=jnp.float32, name='norm')(h)
+        return (mish(h) * mask).astype(self.dtype)
 
 
 class ResnetBlock(nn.Module):
@@ -103,15 +110,19 @@ class ResnetBlock(nn.Module):
     dim: int
     dim_out: int
     groups: int = 8
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, time_emb):
-        h = Block(self.dim_out, self.groups, name='block1')(x, mask)
+        h = Block(self.dim_out, self.groups, self.dtype,
+                  name='block1')(x, mask)
         temb = nn.Dense(self.dim_out, name='mlp_dense')(mish(time_emb))
-        h = h + temb[:, None, None, :]
-        h = Block(self.dim_out, self.groups, name='block2')(h, mask)
+        h = h + temb[:, None, None, :].astype(self.dtype)
+        h = Block(self.dim_out, self.groups, self.dtype,
+                  name='block2')(h, mask)
         if self.dim != self.dim_out:
-            res = nn.Conv(self.dim_out, (1, 1), name='res_conv')(x * mask)
+            res = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype,
+                          name='res_conv')(x * mask)
         else:
             res = x * mask
         return h + res
@@ -119,16 +130,18 @@ class ResnetBlock(nn.Module):
 
 class LinearAttention(nn.Module):
     """Softmax-kernel linear attention over all (F, T) positions
-    (diffusion.py:82-100)."""
+    (diffusion.py:82-100). QKV/output projections run in ``dtype``; the
+    position softmax and both contractions accumulate in float32."""
     dim: int
     heads: int = 4
     dim_head: int = 32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, f, t, _ = x.shape
         hidden = self.heads * self.dim_head
-        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False,
+        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype,
                       name='to_qkv')(x)
         # channel order is (qkv, heads, dim_head) — matches the reference's
         # rearrange 'b (qkv heads c) h w -> qkv b heads c (h w)'
@@ -136,24 +149,27 @@ class LinearAttention(nn.Module):
         q = qkv[:, :, 0]  # [B, N, H, D]
         k = qkv[:, :, 1]
         v = qkv[:, :, 2]
-        k = nn.softmax(k, axis=1)  # softmax over positions N
+        k = nn.softmax(k.astype(jnp.float32), axis=1).astype(self.dtype)
         context = jnp.einsum('bnhd,bnhe->bhde', k, v,
                              preferred_element_type=jnp.float32)
-        out = jnp.einsum('bhde,bnhd->bnhe', context, q,
+        out = jnp.einsum('bhde,bnhd->bnhe', context.astype(self.dtype), q,
                          preferred_element_type=jnp.float32)
-        out = out.reshape(b, f, t, hidden)
-        return nn.Conv(self.dim, (1, 1), name='to_out')(out)
+        out = out.reshape(b, f, t, hidden).astype(self.dtype)
+        return nn.Conv(self.dim, (1, 1), dtype=self.dtype,
+                       name='to_out')(out)
 
 
 class Rezero(nn.Module):
     """Residual linear-attention block scaled by a zero-init'd scalar
     (Residual(Rezero(LinearAttention)) in the reference)."""
     dim: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         g = self.param('g', nn.initializers.zeros, (1,))
-        return LinearAttention(self.dim, name='fn')(x) * g + x
+        return LinearAttention(self.dim, dtype=self.dtype,
+                               name='fn')(x) * g.astype(x.dtype) + x
 
 
 class GradLogPEstimator2d(nn.Module):
@@ -190,7 +206,7 @@ class GradLogPEstimator2d(nn.Module):
         if use_spk_channel:
             chans.append(jnp.broadcast_to(s[:, :, None],
                                           (x.shape[0], self.n_feats, x.shape[1])))
-        h = jnp.stack(chans, axis=-1)
+        h = jnp.stack(chans, axis=-1).astype(self.dtype)
         m = mask[:, None, :, None].astype(h.dtype)  # [B, 1, T, 1]
 
         dims = [2 + (1 if use_spk_channel else 0)] + \
@@ -203,14 +219,15 @@ class GradLogPEstimator2d(nn.Module):
         for ind, (dim_in, dim_out) in enumerate(in_out):
             is_last = ind >= num_res - 1
             mask_down = masks[-1]
-            h = ResnetBlock(dim_in, dim_out, self.groups,
+            h = ResnetBlock(dim_in, dim_out, self.groups, self.dtype,
                             name=f'downs_{ind}_res1')(h, mask_down, t_emb)
-            h = ResnetBlock(dim_out, dim_out, self.groups,
+            h = ResnetBlock(dim_out, dim_out, self.groups, self.dtype,
                             name=f'downs_{ind}_res2')(h, mask_down, t_emb)
-            h = Rezero(dim_out, name=f'downs_{ind}_attn')(h)
+            h = Rezero(dim_out, self.dtype, name=f'downs_{ind}_attn')(h)
             hiddens.append(h)
             if not is_last:
-                h = Downsample(dim_out, name=f'downs_{ind}_down')(h * mask_down)
+                h = Downsample(dim_out, self.dtype,
+                               name=f'downs_{ind}_down')(h * mask_down)
             else:
                 h = h * mask_down
             masks.append(mask_down[:, :, ::2, :])
@@ -218,25 +235,26 @@ class GradLogPEstimator2d(nn.Module):
         masks = masks[:-1]
         mask_mid = masks[-1]
         mid_dim = dims[-1]
-        h = ResnetBlock(mid_dim, mid_dim, self.groups,
+        h = ResnetBlock(mid_dim, mid_dim, self.groups, self.dtype,
                         name='mid_block1')(h, mask_mid, t_emb)
-        h = Rezero(mid_dim, name='mid_attn')(h)
-        h = ResnetBlock(mid_dim, mid_dim, self.groups,
+        h = Rezero(mid_dim, self.dtype, name='mid_attn')(h)
+        h = ResnetBlock(mid_dim, mid_dim, self.groups, self.dtype,
                         name='mid_block2')(h, mask_mid, t_emb)
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out[1:])):
             mask_up = masks.pop()
             h = jnp.concatenate([h, hiddens.pop()], axis=-1)
-            h = ResnetBlock(dim_out * 2, dim_in, self.groups,
+            h = ResnetBlock(dim_out * 2, dim_in, self.groups, self.dtype,
                             name=f'ups_{ind}_res1')(h, mask_up, t_emb)
-            h = ResnetBlock(dim_in, dim_in, self.groups,
+            h = ResnetBlock(dim_in, dim_in, self.groups, self.dtype,
                             name=f'ups_{ind}_res2')(h, mask_up, t_emb)
-            h = Rezero(dim_in, name=f'ups_{ind}_attn')(h)
-            h = Upsample(dim_in, name=f'ups_{ind}_up')(h * mask_up)
+            h = Rezero(dim_in, self.dtype, name=f'ups_{ind}_attn')(h)
+            h = Upsample(dim_in, self.dtype, name=f'ups_{ind}_up')(h * mask_up)
 
-        h = Block(self.dim, self.groups, name='final_block')(h, m)
-        out = nn.Conv(1, (1, 1), name='final_conv')(h * m)
-        out = out * m
+        h = Block(self.dim, self.groups, self.dtype,
+                  name='final_block')(h, m)
+        out = nn.Conv(1, (1, 1), dtype=self.dtype, name='final_conv')(h * m)
+        out = (out * m).astype(jnp.float32)
         return out[..., 0].transpose(0, 2, 1)  # NHWC -> [B, T, F]
 
 

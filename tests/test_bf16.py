@@ -1,0 +1,60 @@
+"""bf16 compute path: the U-Net with dtype=bfloat16 must stay numerically
+close to the f32 path (norms/softmax/accumulations are kept f32)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gradtts_tpu.models import GradTTS, synthesize
+
+HP = dict(n_vocab=60, n_enc_channels=32, filter_channels=64,
+          filter_channels_dp=16, n_heads=2, n_enc_layers=2,
+          n_feats=16, dec_dim=16)
+
+B, TX, TY = 2, 12, 32
+
+
+@pytest.fixture(scope='module')
+def models_and_params():
+    m32 = GradTTS(dtype=jnp.float32, **HP)
+    m16 = GradTTS(dtype=jnp.bfloat16, **HP)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(1, HP['n_vocab'], (B, TX)), jnp.int32)
+    xl = jnp.asarray([TX, TX - 3], jnp.int32)
+    y = jnp.asarray(rng.standard_normal((B, TY, HP['n_feats'])), jnp.float32)
+    yl = jnp.asarray([TY, TY - 8], jnp.int32)
+    params = jax.jit(m32.init)(jax.random.PRNGKey(0), x, xl, y, yl, None)
+    return m32, m16, params, x, xl, y, yl
+
+
+def test_estimator_bf16_close_to_f32(models_and_params):
+    m32, m16, params, x, xl, y, yl = models_and_params
+    mask = (jnp.arange(TY)[None, :] < yl[:, None]).astype(jnp.float32)
+    t = jnp.asarray([0.3, 0.7], jnp.float32)
+    mu = y * 0.5
+    out32 = m32.apply(params, y, mask, mu, t, None, spk_is_embedded=True,
+                      method=GradTTS.estimate)
+    out16 = m16.apply(params, y, mask, mu, t, None, spk_is_embedded=True,
+                      method=GradTTS.estimate)
+    assert out16.dtype == jnp.float32  # score returned in f32
+    scale = float(jnp.std(out32)) + 1e-6
+    rel = float(jnp.max(jnp.abs(out32 - out16))) / scale
+    assert rel < 0.12, f'bf16 deviates {rel:.3f} of output std'
+
+
+def test_synthesize_bf16_finite_and_close(models_and_params):
+    m32, m16, params, x, xl, _y, _yl = models_and_params
+    key = jax.random.PRNGKey(1)
+    r32 = synthesize(m32, params, x, xl, n_timesteps=5, y_max_length=48,
+                     key=key)
+    r16 = synthesize(m16, params, x, xl, n_timesteps=5, y_max_length=48,
+                     key=key)
+    d32, d16 = np.asarray(r32.decoder_outputs), np.asarray(r16.decoder_outputs)
+    assert np.all(np.isfinite(d16))
+    # same PRNG stream, same durations -> bf16 is a small perturbation
+    np.testing.assert_array_equal(np.asarray(r32.y_lengths),
+                                  np.asarray(r16.y_lengths))
+    scale = d32.std() + 1e-6
+    assert np.abs(d32 - d16).max() / scale < 0.25
