@@ -86,11 +86,32 @@ class Downsample(nn.Module):
                        name='conv')(x)
 
 
+class FusedGroupNormMish(nn.Module):
+    """GroupNorm(groups, eps=1e-5) + Mish + time mask in one pass.
+
+    Params ('scale', 'bias') and semantics match
+    ``nn.GroupNorm(dtype=f32)`` followed by ``mish(.) * mask`` — statistics
+    include masked positions, exactly like the reference (diffusion.py:52).
+    On TPU this lowers to the Pallas kernel (single VMEM residency for the
+    norm/activation/mask chain); elsewhere to an identical jnp path.
+    """
+    features: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, h, mask):
+        from gradtts_tpu.ops.pallas.groupnorm_mish import groupnorm_mish
+        scale = self.param('scale', nn.initializers.ones, (self.features,))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        return groupnorm_mish(h, mask, scale, bias, self.groups, 1e-5, None)
+
+
 class Block(nn.Module):
     """conv3x3 -> GroupNorm(8) -> Mish with masking (diffusion.py:49-58).
     The GroupNorm statistics include masked (zero) positions — exactly as
     the reference computes them. Conv runs in ``dtype`` (bf16 on the MXU
-    when enabled); the normalization statistics stay float32."""
+    when enabled); the normalization statistics stay float32 inside the
+    fused norm+Mish+mask op."""
     dim_out: int
     groups: int = 8
     dtype: Any = jnp.float32
@@ -99,9 +120,9 @@ class Block(nn.Module):
     def __call__(self, x, mask):
         h = nn.Conv(self.dim_out, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name='conv')(x * mask)
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
-                         dtype=jnp.float32, name='norm')(h)
-        return (mish(h) * mask).astype(self.dtype)
+        h = FusedGroupNormMish(self.dim_out, self.groups, name='norm')(
+            h, mask.astype(jnp.float32))
+        return h.astype(self.dtype)
 
 
 class ResnetBlock(nn.Module):
@@ -128,6 +149,18 @@ class ResnetBlock(nn.Module):
         return h + res
 
 
+class _ParamHolder(nn.Module):
+    """Declares a conv-shaped kernel param under this module's scope
+    (keeps the checkpoint tree identical to an nn.Conv while the matmul
+    itself is expressed directly)."""
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param('kernel', nn.initializers.lecun_normal(),
+                          self.shape)
+
+
 class LinearAttention(nn.Module):
     """Softmax-kernel linear attention over all (F, T) positions
     (diffusion.py:82-100). QKV/output projections run in ``dtype``; the
@@ -141,20 +174,41 @@ class LinearAttention(nn.Module):
     def __call__(self, x):
         b, f, t, _ = x.shape
         hidden = self.heads * self.dim_head
-        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype,
-                      name='to_qkv')(x)
-        # channel order is (qkv, heads, dim_head) — matches the reference's
-        # rearrange 'b (qkv heads c) h w -> qkv b heads c (h w)'
-        qkv = qkv.reshape(b, f * t, 3, self.heads, self.dim_head)
-        q = qkv[:, :, 0]  # [B, N, H, D]
-        k = qkv[:, :, 1]
-        v = qkv[:, :, 2]
-        k = nn.softmax(k.astype(jnp.float32), axis=1).astype(self.dtype)
-        context = jnp.einsum('bnhd,bnhe->bhde', k, v,
+        # Channel order is (qkv, heads, dim_head) — matches the reference's
+        # rearrange 'b (qkv heads c) h w -> qkv b heads c (h w)'. One
+        # parameter tensor (converter-compatible with the reference's
+        # single to_qkv conv), but applied as three separate 1x1
+        # convs/matmuls: the k-softmax reductions below then read only the
+        # 1/3-size k tensor instead of slicing the fused qkv output
+        # (measured ~1 ms/fwd saved at the top U-Net level on v5e).
+        w_qkv = _ParamHolder((1, 1, x.shape[-1], hidden * 3),
+                             name='to_qkv')()
+        w = w_qkv[0, 0].astype(self.dtype)
+        q = jnp.einsum('bftc,cd->bftd', x, w[:, :hidden])
+        k = jnp.einsum('bftc,cd->bftd', x, w[:, hidden:2 * hidden])
+        v = jnp.einsum('bftc,cd->bftd', x, w[:, 2 * hidden:])
+        # softmax over all (f, t) positions, normalized AFTER the
+        # contraction: context = (Σ e^(k-m) v) / (Σ e^(k-m)). The division
+        # lands on the tiny [B, HD, HD] context instead of the full
+        # [B, F, T, HD] tensor, so only one exp tensor is ever materialized
+        # (in compute dtype). The heads are never split out: the context is
+        # computed over all HD channels at once and masked to its per-head
+        # block diagonal — mathematically identical to per-head attention,
+        # ~4x the (negligible) context FLOPs, and every tensor stays in the
+        # [B, F, T, C] channel-minor layout. Head-splitting reshapes here
+        # cost ~5 ms/fwd in relayout copies at the top U-Net level on v5e.
+        k = k.astype(jnp.float32)
+        m = jax.lax.stop_gradient(jnp.max(k, axis=(1, 2), keepdims=True))
+        ek = jnp.exp(k - m).astype(self.dtype)           # [B, F, T, HD]
+        denom = jnp.sum(ek.astype(jnp.float32), axis=(1, 2))  # [B, HD]
+        context = jnp.einsum('bftd,bfte->bde', ek, v,
                              preferred_element_type=jnp.float32)
-        out = jnp.einsum('bhde,bnhd->bnhe', context.astype(self.dtype), q,
+        head = jnp.arange(hidden) // self.dim_head
+        block_diag = (head[:, None] == head[None, :]).astype(jnp.float32)
+        context = context * block_diag / denom[:, :, None]
+        out = jnp.einsum('bde,bftd->bfte', context.astype(self.dtype), q,
                          preferred_element_type=jnp.float32)
-        out = out.reshape(b, f, t, hidden).astype(self.dtype)
+        out = out.astype(self.dtype)
         return nn.Conv(self.dim, (1, 1), dtype=self.dtype,
                        name='to_out')(out)
 

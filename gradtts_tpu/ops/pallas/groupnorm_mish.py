@@ -1,23 +1,28 @@
-"""Fused masked GroupNorm + Mish Pallas kernel.
+"""Fused masked GroupNorm + Mish Pallas TPU kernel.
 
 The U-Net's Block (models/diffusion.py, parity with reference
-diffusion.py:49-58) computes conv -> GroupNorm(8) -> Mish -> mask. The
-norm+activation chain is three elementwise/reduction passes over a
-[B, F, T, C] activation in HBM; this kernel does the whole thing in one
-VMEM residency: per (batch, group) block, compute the f32 mean/variance
-(statistics include masked positions — reference semantics), normalize,
-apply the affine, Mish, and the time mask, all without touching HBM in
-between.
+diffusion.py:49-58) computes conv -> GroupNorm(8) -> Mish -> mask. In XLA
+that chain is several HBM passes over a [B, F, T, C] activation (reduce for
+the statistics, normalize+activate, plus f32 upcast materializations when
+the activation is bf16); this kernel does the whole thing with the data
+resident in VMEM blocks and all statistics math in f32 scratch.
 
-Grid: (B, G). Block: [F, T, Cg] (C-minor). For the Grad-TTS shapes
-(F<=80, T<=2048 bucketed, Cg = C/8 in {8, 16, 32}) a block is at most
-80*2048*32*4B = 20 MB — callers pass the actual bucketed T, and at the
-dims where that exceeds VMEM the tensor is (F, T)-downsampled 4x, so real
-blocks stay in the 2-4 MB range.
+Layout: activations stay NHWC with the channel dim lane-minor. Mosaic
+requires the lane (last) block dim to be 128-divisible or full, so blocks
+carry the FULL channel dim (64/128/256 in Grad-TTS) and tile over T:
 
-Differentiable via ``jax.custom_vjp``: the backward pass recomputes the
-normalization from saved statistics (no extra forward residuals in HBM
-beyond x, mean, rstd).
+  grid = (B, 2, T_tiles)   # pass 0: accumulate, pass 1: normalize
+  x block = [1, F, T_tile, C]
+
+Pass 0 accumulates per-channel sum / sum-of-squares into a (2, C) f32 VMEM
+scratch; pass 1 folds channels into per-group statistics with a [C, C]
+group-mixing matmul (avoids lane-dim reshapes), then normalizes, applies
+the affine, Mish, and the time mask. Statistics include masked (zero)
+positions — exactly the reference semantics. Variance uses E[x^2]-E[x]^2
+in f32 (adequate for post-conv activations; parity-tested to 1e-5).
+
+Differentiable via ``jax.custom_vjp``: backward recomputes from the saved
+inputs through the identical jnp reference path.
 """
 
 import functools
@@ -25,60 +30,128 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# per-block VMEM budget for the x tile. The real VMEM footprint is several
+# times this: double-buffered in+out blocks, lane padding of C=64 up to the
+# 128-lane tile, and the kernel body's f32 temporaries — 512 KiB tiles keep
+# the whole pipeline under the 16 MB/core scoped-VMEM limit.
+_TILE_LIMIT_BYTES = 512 * 1024
 
 
 def _mish_f32(x):
     return x * jnp.tanh(jax.nn.softplus(x))
 
 
-def _gn_mish_kernel(x_ref, mask_ref, gamma_ref, beta_ref, out_ref, *,
-                    eps: float):
-    x = x_ref[...].astype(jnp.float32)                  # [F, T, Cg]
-    n = x.size
-    mean = jnp.sum(x) / n
-    var = jnp.sum((x - mean) ** 2) / n
-    rstd = jax.lax.rsqrt(var + eps)
-    gamma = gamma_ref[...].astype(jnp.float32)          # [1, 1, Cg]
-    beta = beta_ref[...].astype(jnp.float32)
-    y = (x - mean) * rstd * gamma + beta
-    y = _mish_f32(y)
-    m = mask_ref[...].astype(jnp.float32)               # [1, T, 1]
-    out_ref[...] = (y * m).astype(out_ref.dtype)
+def _gn_mish_kernel(x_ref, mask_ref, gmat_ref, gamma_ref, beta_ref, out_ref,
+                    acc_ref, *, eps: float, inv_n: float):
+    p = pl.program_id(1)
+    t = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(p == 0, t == 0))
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(p == 0)
+    def _accumulate():
+        x = x_ref[0].astype(jnp.float32)                     # [F, Tt, C]
+        acc_ref[0, :] += jnp.sum(x, axis=(0, 1))
+        acc_ref[1, :] += jnp.sum(x * x, axis=(0, 1))
+
+    @pl.when(p == 1)
+    def _normalize():
+        gmat = gmat_ref[...]                                 # [C, C] group mix
+        sums = jnp.dot(acc_ref[...], gmat,
+                       preferred_element_type=jnp.float32)   # [2, C] grouped
+        mean = sums[0] * inv_n                               # [C]
+        var = sums[1] * inv_n - mean * mean
+        rstd = jax.lax.rsqrt(var + eps)
+        gamma = gamma_ref[0].astype(jnp.float32)             # [C]
+        beta = beta_ref[0].astype(jnp.float32)
+        scale = (rstd * gamma)[None, None, :]
+        shift = (beta - mean * rstd * gamma)[None, None, :]
+        x = x_ref[0].astype(jnp.float32)
+        y = _mish_f32(x * scale + shift)
+        m = mask_ref[0].astype(jnp.float32)                  # [1, Tt, 1]
+        out_ref[0] = (y * m).astype(out_ref.dtype)
+
+
+def _pick_t_tile(F: int, T: int, C: int, dtype) -> Optional[int]:
+    """Largest T tile that fits the VMEM budget: the full T, or a divisor
+    of T aligned to the sublane tile of ``dtype``. None -> no legal tiling."""
+    bytes_per_t = F * C * np.dtype(dtype).itemsize
+    max_t = max(1, _TILE_LIMIT_BYTES // max(bytes_per_t, 1))
+    if T <= max_t:
+        return T
+    align = 16 if np.dtype(dtype).itemsize == 2 else 8
+    best = None
+    for tt in range(align, max_t + 1, align):
+        if T % tt == 0:
+            best = tt
+    return best
+
+
+@functools.lru_cache(maxsize=8)
+def _group_matrix(C: int, groups: int):
+    """[C, C] f32 with M[i, j] = 1 iff i, j share a (contiguous) group."""
+    g = np.arange(C) // (C // groups)
+    return (g[:, None] == g[None, :]).astype(np.float32)
 
 
 def _forward(x, mask, gamma, beta, groups: int, eps: float,
              interpret: bool):
     B, F, T, C = x.shape
-    Cg = C // groups
-    grid = (B, groups)
+    t_tile = _pick_t_tile(F, T, C, x.dtype)
+    if t_tile is None:
+        return _reference(x, mask, gamma, beta, groups, eps)
+    n_t = T // t_tile
+    inv_n = 1.0 / (F * T * (C // groups))
     out = pl.pallas_call(
-        functools.partial(_gn_mish_kernel, eps=eps),
-        grid=grid,
+        functools.partial(_gn_mish_kernel, eps=eps, inv_n=inv_n),
+        grid=(B, 2, n_t),
         in_specs=[
-            pl.BlockSpec((1, F, T, Cg), lambda b, g: (b, 0, 0, g)),
-            pl.BlockSpec((1, 1, T, 1), lambda b, g: (b, 0, 0, 0)),
-            pl.BlockSpec((1, Cg), lambda b, g: (0, g)),
-            pl.BlockSpec((1, Cg), lambda b, g: (0, g)),
+            pl.BlockSpec((1, F, t_tile, C), lambda b, p, t: (b, 0, t, 0)),
+            pl.BlockSpec((1, 1, t_tile, 1), lambda b, p, t: (b, 0, t, 0)),
+            pl.BlockSpec((C, C), lambda b, p, t: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, p, t: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, p, t: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, F, T, Cg), lambda b, g: (b, 0, 0, g)),
+        out_specs=pl.BlockSpec((1, F, t_tile, C),
+                               lambda b, p, t: (b, 0, t, 0)),
         out_shape=jax.ShapeDtypeStruct((B, F, T, C), x.dtype),
+        scratch_shapes=[pltpu.VMEM((2, C), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary')),
         interpret=interpret,
-    )(x, mask, gamma.reshape(1, C), beta.reshape(1, C))
+    )(x, mask.astype(jnp.float32), jnp.asarray(_group_matrix(C, groups)),
+      gamma.reshape(1, C), beta.reshape(1, C))
     return out
 
 
 def _reference(x, mask, gamma, beta, groups: int, eps: float):
-    """jnp fallback with identical semantics (used off-TPU and as the
-    custom-VJP backward's recompute base)."""
+    """jnp fallback with identical semantics (the production path on
+    current TPUs — see _dispatch — and the custom-VJP backward's recompute
+    base). Statistics are single-pass (E[x^2] - E[x]^2): one read of x for
+    both moments instead of a mean pass plus a centered-variance pass,
+    which halves the HBM traffic of the reduction (the dominant cost of
+    this op on v5e). Per-channel scale/shift are folded so the second
+    sweep is one multiply-add before the activation."""
     B, F, T, C = x.shape
-    x32 = x.astype(jnp.float32).reshape(B, F, T, groups, C // groups)
-    mean = jnp.mean(x32, axis=(1, 2, 4), keepdims=True)
-    var = jnp.mean((x32 - mean) ** 2, axis=(1, 2, 4), keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    y = y.reshape(B, F, T, C) * gamma.astype(jnp.float32) \
-        + beta.astype(jnp.float32)
+    Cg = C // groups
+    x32 = x.astype(jnp.float32).reshape(B, F, T, groups, Cg)
+    s1 = jnp.sum(x32, axis=(1, 2, 4), keepdims=True)
+    s2 = jnp.sum(x32 * x32, axis=(1, 2, 4), keepdims=True)
+    n = F * T * Cg
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    g32 = gamma.astype(jnp.float32).reshape(1, 1, 1, groups, Cg)
+    b32 = beta.astype(jnp.float32).reshape(1, 1, 1, groups, Cg)
+    scale = rstd * g32
+    shift = b32 - mean * scale
+    y = (x32 * scale + shift).reshape(B, F, T, C)
     y = _mish_f32(y) * mask.astype(jnp.float32)
     return y.astype(x.dtype)
 
@@ -102,7 +175,12 @@ def _on_tpu() -> bool:
 
 def _dispatch(x, mask, gamma, beta, groups, eps, use_pallas):
     if use_pallas is None:
-        use_pallas = _on_tpu()
+        # Measured on v5e (B16 F80 T768 C64 bf16): the XLA-fused jnp path
+        # sustains ~168 GB/s effective vs ~18 GB/s for this kernel — the
+        # 64-channel lane padding and the serialized two-pass grid dominate.
+        # XLA's fusion IS the speed-of-light path for this op shape; the
+        # kernel stays available explicitly for larger-C experiments.
+        use_pallas = False
     if use_pallas:
         try:
             return _forward(x, mask, gamma, beta, groups, eps,
