@@ -64,13 +64,16 @@ class Upsample(nn.Module):
         kernel = self.param('kernel', nn.initializers.lecun_normal(),
                             (4, 4, self.dim, self.dim))
         bias = self.param('bias', nn.initializers.zeros, (self.dim,))
+        # No preferred_element_type here: its transpose rule would pair the
+        # f32 cotangent with the bf16 kernel and conv_general_dilated
+        # rejects mixed dtypes — XLA accumulates bf16 convs in f32 on the
+        # MXU regardless; the bias add happens in f32.
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
             window_strides=(1, 1), padding=((2, 2), (2, 2)),
             lhs_dilation=(2, 2),
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-            preferred_element_type=jnp.float32)
-        return (y + bias).astype(self.dtype)
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        return (y.astype(jnp.float32) + bias).astype(self.dtype)
 
 
 class Downsample(nn.Module):

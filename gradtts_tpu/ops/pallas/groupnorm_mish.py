@@ -156,14 +156,23 @@ def _reference(x, mask, gamma, beta, groups: int, eps: float):
     return y.astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def groupnorm_mish(x, mask, gamma, beta, groups: int = 8, eps: float = 1e-5,
                    use_pallas: Optional[bool] = None):
     """x: [B, F, T, C]; mask: [B, 1, T, 1]; gamma/beta: [C].
 
-    ``use_pallas=None`` auto-selects: real kernel on TPU, jnp elsewhere.
+    ``use_pallas=None`` selects the XLA-fused jnp path: measured on v5e
+    (B16 F80 T768 C64 bf16) it sustains ~168 GB/s effective vs ~18 GB/s
+    for the Pallas kernel — the 64-channel lane padding and the serialized
+    two-pass grid dominate, so XLA's fusion IS the speed-of-light path at
+    these shapes. The jnp path is plain traced code, differentiable under
+    both reverse (training) AND forward mode (the Hutchinson-divergence
+    ``jax.jvp`` in the likelihood engine). The kernel stays available
+    explicitly (``use_pallas=True``) for larger-C experiments; that path
+    is custom_vjp-wrapped and supports reverse mode only.
     """
-    return _dispatch(x, mask, gamma, beta, groups, eps, use_pallas)
+    if use_pallas:
+        return _pallas_gn_mish(x, mask, gamma, beta, groups, eps)
+    return _reference(x, mask, gamma, beta, groups, eps)
 
 
 def _on_tpu() -> bool:
@@ -173,29 +182,21 @@ def _on_tpu() -> bool:
         return False
 
 
-def _dispatch(x, mask, gamma, beta, groups, eps, use_pallas):
-    if use_pallas is None:
-        # Measured on v5e (B16 F80 T768 C64 bf16): the XLA-fused jnp path
-        # sustains ~168 GB/s effective vs ~18 GB/s for this kernel — the
-        # 64-channel lane padding and the serialized two-pass grid dominate.
-        # XLA's fusion IS the speed-of-light path for this op shape; the
-        # kernel stays available explicitly for larger-C experiments.
-        use_pallas = False
-    if use_pallas:
-        try:
-            return _forward(x, mask, gamma, beta, groups, eps,
-                            interpret=not _on_tpu())
-        except Exception:
-            pass
-    return _reference(x, mask, gamma, beta, groups, eps)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _pallas_gn_mish(x, mask, gamma, beta, groups: int, eps: float):
+    try:
+        return _forward(x, mask, gamma, beta, groups, eps,
+                        interpret=not _on_tpu())
+    except Exception:
+        return _reference(x, mask, gamma, beta, groups, eps)
 
 
-def _fwd(x, mask, gamma, beta, groups, eps, use_pallas):
-    out = _dispatch(x, mask, gamma, beta, groups, eps, use_pallas)
+def _fwd(x, mask, gamma, beta, groups, eps):
+    out = _pallas_gn_mish(x, mask, gamma, beta, groups, eps)
     return out, (x, mask, gamma, beta)
 
 
-def _bwd(groups, eps, use_pallas, residuals, g):
+def _bwd(groups, eps, residuals, g):
     x, mask, gamma, beta = residuals
     _, vjp = jax.vjp(
         lambda xx, gg, bb: _reference(xx, mask, gg, bb, groups, eps),
@@ -204,4 +205,4 @@ def _bwd(groups, eps, use_pallas, residuals, g):
     return dx, None, dgamma, dbeta
 
 
-groupnorm_mish.defvjp(_fwd, _bwd)
+_pallas_gn_mish.defvjp(_fwd, _bwd)

@@ -79,7 +79,8 @@ def train(cfg: GradTTSConfig, n_epochs: Optional[int] = None,
     n_epochs = n_epochs if n_epochs is not None else cfg.train.n_epochs
     mesh = mesh or make_mesh(cfg.train.mesh_data, cfg.train.mesh_model)
 
-    model = GradTTS.from_config(cfg)
+    dtype = jnp.bfloat16 if cfg.train.use_bf16_compute else jnp.float32
+    model = GradTTS.from_config(cfg, dtype=dtype)
     key = jax.random.PRNGKey(cfg.train.seed)
 
     if loader is None:

@@ -58,3 +58,22 @@ def test_synthesize_bf16_finite_and_close(models_and_params):
                                   np.asarray(r16.y_lengths))
     scale = d32.std() + 1e-6
     assert np.abs(d32 - d16).max() / scale < 0.25
+
+
+def test_train_step_bf16_grads(models_and_params):
+    """Regression: the full train step (value_and_grad through the bf16
+    U-Net incl. the lhs-dilated Upsample conv) must compile and produce
+    finite losses — preferred_element_type in the conv primal used to
+    break the transpose rule with mixed bf16/f32 dtypes."""
+    from gradtts_tpu.train.state import (
+        init_state, make_optimizer, make_train_step,
+    )
+    _m32, m16, params, x, xl, y, yl = models_and_params
+    batch = {'x': x, 'x_lengths': xl, 'y': y, 'y_lengths': yl}
+    opt = make_optimizer(1e-4)
+    state = init_state(params, opt)
+    step = jax.jit(make_train_step(m16, opt, out_size=16))
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f'{k} not finite'
+    assert int(state.step) == 1
