@@ -28,11 +28,14 @@ def main(argv=None):
     parser.add_argument('--config', default=None,
                         help='hifigan-config.json (defaults to V1 22.05 kHz)')
     parser.add_argument('--batch-size', type=int, default=16)
-    parser.add_argument('--segment-size', type=int, default=8192)
+    parser.add_argument('--segment-size', type=int, default=None,
+                        help='defaults to the config JSON value (8192)')
     parser.add_argument('--epochs', type=int, default=100)
     parser.add_argument('--max-steps', type=int, default=None)
-    parser.add_argument('--learning-rate', type=float, default=2e-4)
-    parser.add_argument('--lr-decay', type=float, default=0.999)
+    parser.add_argument('--learning-rate', type=float, default=None,
+                        help='defaults to the config JSON value')
+    parser.add_argument('--lr-decay', type=float, default=None,
+                        help='defaults to the config JSON value')
     parser.add_argument('--save-every', type=int, default=5,
                         help='checkpoint every N epochs')
     parser.add_argument('--fine-tuning', action='store_true')
@@ -70,29 +73,40 @@ def main(argv=None):
 
     cfg = (HiFiGANConfig.from_json(args.config) if args.config
            else HiFiGANConfig())
+    segment_size = args.segment_size if args.segment_size else \
+        cfg.segment_size
 
     train_files, _ = vocoder_filelists(
         args.input_training_file,
         args.input_validation_file or args.input_training_file,
         args.input_wavs_dir)
+    # mel analysis settings come from the config JSON so the dataset, the
+    # in-graph loss mel, and the generator's upsampling product all agree
     dataset = VocoderMelDataset(
-        train_files, segment_size=args.segment_size,
-        num_mels=cfg.num_mels, sampling_rate=cfg.sampling_rate,
+        train_files, segment_size=segment_size,
+        n_fft=cfg.n_fft, num_mels=cfg.num_mels, hop_size=cfg.hop_size,
+        win_size=cfg.win_size, sampling_rate=cfg.sampling_rate,
+        fmin=cfg.fmin, fmax=cfg.fmax, fmax_loss=cfg.fmax_loss,
         seed=args.seed, fine_tuning=args.fine_tuning,
         base_mels_path=args.base_mels_path)
     loader = DataLoader(dataset, args.batch_size, VocoderBatchCollate(),
                         shuffle=True, seed=args.seed)
 
     steps_per_epoch = max(len(loader), 1)
-    gen_opt = make_vocoder_optimizer(args.learning_rate,
-                                     lr_decay=args.lr_decay,
+    lr = args.learning_rate if args.learning_rate else cfg.learning_rate
+    lr_decay = args.lr_decay if args.lr_decay else cfg.lr_decay
+    gen_opt = make_vocoder_optimizer(lr, betas=(cfg.adam_b1, cfg.adam_b2),
+                                     lr_decay=lr_decay,
                                      steps_per_epoch=steps_per_epoch)
-    disc_opt = make_vocoder_optimizer(args.learning_rate,
-                                      lr_decay=args.lr_decay,
+    disc_opt = make_vocoder_optimizer(lr, betas=(cfg.adam_b1, cfg.adam_b2),
+                                      lr_decay=lr_decay,
                                       steps_per_epoch=steps_per_epoch)
 
+    ckpt_dir = os.path.join(args.log_dir, 'ckpt')
+    resuming = not args.no_resume and latest_checkpoint(ckpt_dir)
+
     gen_params = None
-    if args.init_generator:
+    if args.init_generator and not resuming:
         import torch
         ckpt = torch.load(args.init_generator, map_location='cpu')
         sd = ckpt.get('generator', ckpt)
@@ -100,13 +114,17 @@ def main(argv=None):
         log.info('initialized generator from %s', args.init_generator)
 
     state = init_vocoder_state(jax.random.PRNGKey(args.seed), cfg,
-                               args.segment_size, gen_opt, disc_opt,
+                               segment_size, gen_opt, disc_opt,
                                gen_params=gen_params)
 
-    ckpt_dir = os.path.join(args.log_dir, 'ckpt')
     start_step = 0
-    if not args.no_resume and latest_checkpoint(ckpt_dir):
-        payload = restore_checkpoint(ckpt_dir)
+    if resuming:
+        # restore with the freshly-initialized state as the template so
+        # optax states come back as the proper NamedTuple pytrees (an
+        # untyped restore yields plain dicts/lists that adamw rejects)
+        template = {'step': 0, 'params': _ckpt_payload(state).params,
+                    'opt_state': _ckpt_payload(state).opt_state}
+        payload = restore_checkpoint(ckpt_dir, template=template)
         state = VocoderTrainState(
             step=jnp.asarray(payload['step']),
             gen_params=payload['params']['gen'],
@@ -122,6 +140,7 @@ def main(argv=None):
 
     metrics_log = MetricsLogger(args.log_dir)
     step = start_step
+    last_saved = start_step
     done = False
     for epoch in range(args.epochs):
         epoch_metrics = []
@@ -145,8 +164,13 @@ def main(argv=None):
             metrics_log.text(msg)
         if (epoch + 1) % args.save_every == 0 or done:
             save_checkpoint(ckpt_dir, _ckpt_payload(state), step)
+            last_saved = step
         if done:
             break
+    if step > last_saved:
+        # final save so runs whose epoch count isn't a save_every multiple
+        # still end with a checkpoint
+        save_checkpoint(ckpt_dir, _ckpt_payload(state), step)
     metrics_log.close()
     return state
 

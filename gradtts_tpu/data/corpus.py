@@ -52,12 +52,14 @@ def read_cut_manifest(path: str, prefix_path: str = '',
             wav = _first_source_path(rec)
             if wav is None:
                 continue
-            if prefix_path:
-                # lhotse with_recording_path_prefix semantics: the prefix
-                # is prepended to the stored source path
-                wav = os.path.join(prefix_path, wav.lstrip('/'))
+            if prefix_path and not os.path.isabs(wav):
+                # lhotse with_recording_path_prefix semantics
+                # (Path(prefix) / source): absolute source paths are left
+                # untouched, relative ones get the prefix
+                wav = os.path.join(prefix_path, wav)
             sups = cut.get('supervisions', [])
-            text = ' '.join(s.get('text', '') for s in sups).strip()
+            # "text": null is legal in lhotse manifests
+            text = ' '.join(s.get('text') or '' for s in sups).strip()
             if transform:
                 text = transform_txt(text)
             speaker = sups[0].get('speaker') if sups else None

@@ -15,6 +15,7 @@ Behavioral parity target: /root/reference/hifi-gan/meldataset.py:88-170
 
 import math
 import os
+import threading
 from typing import Optional, Sequence
 
 import numpy as np
@@ -60,9 +61,15 @@ class VocoderMelDataset:
                  seed=1234, fine_tuning=False,
                  base_mels_path: Optional[str] = None):
         self.audio_files = list(training_files)
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
         if shuffle:
-            self._rng.shuffle(self.audio_files)
+            np.random.default_rng(seed).shuffle(self.audio_files)
+        # __getitem__ runs on the DataLoader's thread pool and
+        # np.random.Generator is not thread-safe, so crop randomness is
+        # derived per call from (seed, index, call-count) instead of a
+        # shared generator; the counter bump is the only guarded state.
+        self._lock = threading.Lock()
+        self._calls = 0
         self.segment_size = segment_size
         self.n_fft = n_fft
         self.num_mels = num_mels
@@ -85,7 +92,14 @@ class VocoderMelDataset:
             sampling_rate=self.sampling_rate, hop_size=self.hop_size,
             win_size=self.win_size, fmin=self.fmin, fmax=fmax)[0]
 
+    def _item_rng(self, index):
+        with self._lock:
+            n = self._calls
+            self._calls += 1
+        return np.random.default_rng((self.seed, index, n))
+
     def __getitem__(self, index):
+        rng = self._item_rng(index)
         filename = self.audio_files[index]
         audio, sr = load_wav(filename)
         if sr != self.sampling_rate:
@@ -96,7 +110,7 @@ class VocoderMelDataset:
         if not self.fine_tuning:
             if self.split:
                 if len(audio) >= self.segment_size:
-                    start = int(self._rng.integers(
+                    start = int(rng.integers(
                         0, len(audio) - self.segment_size + 1))
                     audio = audio[start:start + self.segment_size]
                 else:
@@ -115,7 +129,7 @@ class VocoderMelDataset:
                 frames = math.ceil(self.segment_size / self.hop_size)
                 if len(audio) >= self.segment_size:
                     hi = mel.shape[0] - frames - 1
-                    ms = int(self._rng.integers(0, max(hi, 0) + 1))
+                    ms = int(rng.integers(0, max(hi, 0) + 1))
                     mel = mel[ms:ms + frames]
                     audio = audio[ms * self.hop_size:
                                   (ms + frames) * self.hop_size]

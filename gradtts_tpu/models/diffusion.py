@@ -95,8 +95,9 @@ class FusedGroupNormMish(nn.Module):
     Params ('scale', 'bias') and semantics match
     ``nn.GroupNorm(dtype=f32)`` followed by ``mish(.) * mask`` — statistics
     include masked positions, exactly like the reference (diffusion.py:52).
-    On TPU this lowers to the Pallas kernel (single VMEM residency for the
-    norm/activation/mask chain); elsewhere to an identical jnp path.
+    Lowered via the XLA-fused jnp path (single-pass statistics); the
+    Pallas kernel measured slower at these shapes and stays opt-in — see
+    ops/pallas/groupnorm_mish.py for the measurements.
     """
     features: int
     groups: int = 8

@@ -20,7 +20,7 @@ TPU-first design:
 import json
 import math
 from dataclasses import dataclass, field
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -42,6 +42,19 @@ class HiFiGANConfig:
         (1, 3, 5), (1, 3, 5), (1, 3, 5))
     num_mels: int = 80
     sampling_rate: int = 22050
+    # mel-analysis settings (consumed by the training pipeline; present in
+    # the reference config JSON, checkpts/hifigan-config.json:20-29)
+    segment_size: int = 8192
+    n_fft: int = 1024
+    hop_size: int = 256
+    win_size: int = 1024
+    fmin: float = 0.0
+    fmax: float = 8000.0
+    fmax_loss: Optional[float] = None
+    learning_rate: float = 2e-4
+    adam_b1: float = 0.8
+    adam_b2: float = 0.99
+    lr_decay: float = 0.999
 
     @classmethod
     def from_json(cls, path_or_dict):

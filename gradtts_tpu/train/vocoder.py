@@ -40,13 +40,17 @@ class VocoderTrainState(NamedTuple):
 
 
 def make_vocoder_optimizer(learning_rate=2e-4, betas=(0.8, 0.99),
-                           lr_decay=0.999, steps_per_epoch=1000):
+                           lr_decay=0.999, steps_per_epoch=1000,
+                           weight_decay=0.01):
     """AdamW with the upstream per-epoch exponential decay, expressed as a
-    per-step staircase schedule (optax has no epoch clock)."""
+    per-step staircase schedule (optax has no epoch clock). weight_decay
+    defaults to torch.optim.AdamW's 0.01 — the upstream recipe relies on
+    the torch default (optax's own default is 1e-4, 100x weaker)."""
     schedule = optax.exponential_decay(
         init_value=learning_rate, transition_steps=steps_per_epoch,
         decay_rate=lr_decay, staircase=True)
-    return optax.adamw(schedule, b1=betas[0], b2=betas[1])
+    return optax.adamw(schedule, b1=betas[0], b2=betas[1],
+                       weight_decay=weight_decay)
 
 
 def init_vocoder_state(key, cfg: HiFiGANConfig, segment_size: int,
@@ -76,14 +80,21 @@ def init_vocoder_state(key, cfg: HiFiGANConfig, segment_size: int,
 
 
 def make_vocoder_train_step(cfg: HiFiGANConfig, gen_opt, disc_opt,
-                            n_fft=1024, hop_size=256, win_size=1024,
-                            fmin=0.0, fmax_loss=None):
+                            n_fft=None, hop_size=None, win_size=None,
+                            fmin=None, fmax_loss=None):
     """Returns step(state, batch) -> (state, metrics). batch: {'mel' [B,F,M],
-    'audio' [B,S], 'mel_loss' [B,F,M]} from VocoderMelDataset."""
+    'audio' [B,S], 'mel_loss' [B,F,M]} from VocoderMelDataset. The mel
+    analysis settings default to the config's (the reference JSON carries
+    n_fft/hop_size/win_size/fmin/fmax_loss, checkpts/hifigan-config.json)."""
     gen = Generator(cfg)
     mpd = MultiPeriodDiscriminator()
     msd = MultiScaleDiscriminator()
     sr = cfg.sampling_rate
+    n_fft = cfg.n_fft if n_fft is None else n_fft
+    hop_size = cfg.hop_size if hop_size is None else hop_size
+    win_size = cfg.win_size if win_size is None else win_size
+    fmin = cfg.fmin if fmin is None else fmin
+    fmax_loss = cfg.fmax_loss if fmax_loss is None else fmax_loss
     fmax_l = sr / 2.0 if fmax_loss is None else fmax_loss
 
     def loss_mel(wav):

@@ -36,11 +36,18 @@ def test_read_cut_manifest_with_transform(tmp_path):
     ])
     recs = read_cut_manifest(p, prefix_path='/data', transform=True)
     assert len(recs) == 2
+    # "text": null supervision must not crash the reader
+    p2 = str(tmp_path / 'x_cuts_nul.jsonl.gz')
+    nul = _cut('c3', 'audio/c.wav', None, 'spkC')
+    _write_manifest(p2, [nul])
+    recs2 = read_cut_manifest(p2, transform=True)
+    assert recs2[0].text == ''
     # TED normalizer: lowercase, brackets stripped, spaces collapsed,
     # " 's" -> "'s"
     assert recs[0].text == "hello world that's"
     assert recs[0].wav_path == '/data/audio/a.wav'
-    assert recs[1].wav_path == '/data/abs/b.wav'
+    # absolute source paths are left untouched (lhotse Path(prefix)/source)
+    assert recs[1].wav_path == '/abs/b.wav'
     assert recs[0].speaker == 'spkA'
     assert recs[0].sampling_rate == 16000
 
