@@ -93,6 +93,11 @@ class GradTTSConfig:
     #   -1 -> external pretrained speaker embedding vectors (zero-speaker)
     n_spks: int = 1
     spk_emb_dim: int = 64
+    # False = fork wiring (decoder-only speaker conditioning, tts.py:49-51);
+    # True = upstream wiring (speaker embedding concat into the encoder
+    # after the prenet) — required by upstream multi-speaker checkpoints
+    # such as grad-tts-libri-tts.pt (SURVEY.md §3).
+    encoder_speaker: bool = False
     data: DataConfig = field(default_factory=DataConfig)
     encoder: EncoderConfig = field(default_factory=EncoderConfig)
     decoder: DecoderConfig = field(default_factory=DecoderConfig)

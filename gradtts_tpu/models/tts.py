@@ -51,6 +51,12 @@ class GradTTS(nn.Module):
     beta_min: float = 0.05
     beta_max: float = 20.0
     pe_scale: float = 1000.0
+    # Speaker-conditioning wiring (SURVEY.md §3 quirk). The fork builds the
+    # encoder WITHOUT speaker args (tts.py:49-51) so conditioning enters
+    # only via the decoder U-Net; the UPSTREAM Grad-TTS (and its Libri-TTS
+    # checkpoint) concat the speaker embedding into the encoder after the
+    # prenet. encoder_speaker=True instantiates the upstream wiring.
+    encoder_speaker: bool = False
     dtype: Any = jnp.float32
 
     @classmethod
@@ -58,6 +64,7 @@ class GradTTS(nn.Module):
         return cls(
             n_vocab=cfg.n_vocab, n_spks=cfg.n_spks,
             spk_emb_dim=cfg.spk_emb_dim,
+            encoder_speaker=getattr(cfg, 'encoder_speaker', False),
             n_enc_channels=cfg.encoder.n_enc_channels,
             filter_channels=cfg.encoder.filter_channels,
             filter_channels_dp=cfg.encoder.filter_channels_dp,
@@ -73,9 +80,11 @@ class GradTTS(nn.Module):
     def setup(self):
         if self.n_spks > 1:
             self.spk_emb = nn.Embed(self.n_spks, self.spk_emb_dim)
-        # Fork quirk (tts.py:49-51): the encoder is built WITHOUT speaker
-        # args, so its speaker-concat branch is disabled regardless of
-        # n_spks; conditioning enters via the decoder only.
+        # Fork quirk (tts.py:49-51): by default the encoder is built
+        # WITHOUT speaker args, so its speaker-concat branch is disabled
+        # regardless of n_spks and conditioning enters via the decoder
+        # only. encoder_speaker=True restores the upstream wiring
+        # (text_encoder.py:314-328) for upstream multi-speaker checkpoints.
         self.encoder = TextEncoder(
             n_vocab=self.n_vocab, n_feats=self.n_feats,
             n_channels=self.n_enc_channels,
@@ -83,7 +92,9 @@ class GradTTS(nn.Module):
             filter_channels_dp=self.filter_channels_dp,
             n_heads=self.n_heads, n_layers=self.n_enc_layers,
             kernel_size=self.enc_kernel, p_dropout=self.enc_dropout,
-            window_size=self.window_size, dtype=self.dtype)
+            window_size=self.window_size,
+            n_spks=self.n_spks if self.encoder_speaker else 1,
+            spk_emb_dim=self.spk_emb_dim, dtype=self.dtype)
         self.estimator = GradLogPEstimator2d(
             dim=self.dec_dim, n_spks=self.n_spks,
             spk_emb_dim=self.spk_emb_dim, n_feats=self.n_feats,

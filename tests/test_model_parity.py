@@ -174,3 +174,51 @@ def test_zero_speaker_estimator_unconditioned_quirk():
                           jnp.array(spk * 0 + 7.0),
                           method=GradTTS.estimate)
     np.testing.assert_allclose(np.array(j_out), np.array(j_out2))
+
+
+def test_encoder_speaker_upstream_wiring_parity():
+    """encoder_speaker=True restores the UPSTREAM wiring (speaker embedding
+    concat into the encoder after the prenet, text_encoder.py:314-328) that
+    upstream multi-speaker checkpoints like grad-tts-libri-tts.pt assume —
+    the fork's GradTTS never enables it (SURVEY.md §3 quirk)."""
+    ref = load_reference_model()
+    hp = dict(HP, n_feats=80)  # spk_mlp in the ref estimator hardcodes 80
+    n_spks, spk_emb_dim = 3, 8
+    torch.manual_seed(1)
+    tmodel = ref.tts.GradTTS(
+        hp['n_vocab'], n_spks, spk_emb_dim, hp['n_enc_channels'],
+        hp['filter_channels'], hp['filter_channels_dp'], hp['n_heads'],
+        hp['n_enc_layers'], hp['enc_kernel'], hp['enc_dropout'],
+        hp['window_size'], hp['n_feats'], hp['dec_dim'], hp['beta_min'],
+        hp['beta_max'], hp['pe_scale']).eval()
+    # upstream models pass speaker args into the encoder; the fork doesn't
+    # (tts.py:49-51), so emulate upstream by rebuilding the encoder wide
+    tmodel.encoder = ref.text_encoder.TextEncoder(
+        hp['n_vocab'], hp['n_feats'], hp['n_enc_channels'],
+        hp['filter_channels'], hp['filter_channels_dp'], hp['n_heads'],
+        hp['n_enc_layers'], hp['enc_kernel'], hp['enc_dropout'],
+        hp['window_size'], spk_emb_dim=spk_emb_dim, n_spks=n_spks).eval()
+
+    jmodel = GradTTS(n_spks=n_spks, spk_emb_dim=spk_emb_dim,
+                     encoder_speaker=True, **hp)
+    rng = np.random.default_rng(1)
+    x = rng.integers(1, hp['n_vocab'], size=(B, TX))
+    xl = np.array([TX, TX - 3])
+    y = rng.standard_normal((B, TY, hp['n_feats'])).astype(np.float32)
+    yl = np.array([TY, TY - 5])
+    spk = np.array([0, 2])
+    params = jmodel.init(jax.random.PRNGKey(0), jnp.array(x),
+                         jnp.array(xl), jnp.array(y), jnp.array(yl),
+                         jnp.array(spk))
+    params = gradtts_torch_to_flax(tmodel.state_dict(), params)
+
+    with torch.no_grad():
+        spk_vec = tmodel.spk_emb(torch.tensor(spk))
+        t_mu, t_logw, _ = tmodel.encoder(torch.tensor(x), torch.tensor(xl),
+                                         spk_vec)
+    j_mu, j_logw, _, _ = jmodel.apply(params, jnp.array(x), jnp.array(xl),
+                                      jnp.array(spk), method=GradTTS.encode)
+    np.testing.assert_allclose(np.array(j_mu).transpose(0, 2, 1),
+                               t_mu.numpy(), atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.array(j_logw).transpose(0, 2, 1),
+                               t_logw.numpy(), atol=2e-5, rtol=1e-5)
