@@ -92,6 +92,19 @@ def main(argv=None):
 
     print('Initializing Grad-TTS...')
     model = GradTTS.from_config(cfg)
+    # Upstream multi-speaker .pt checkpoints use encoder-side speaker
+    # concat; detect the wiring from the state dict and rebuild the model
+    # accordingly (SURVEY.md §3 quirk; detect_encoder_speaker docstring).
+    if args.checkpoint.endswith(('.pt', '.pth')) and cfg.n_spks > 1:
+        import torch
+        from gradtts_tpu.utils.convert import detect_encoder_speaker
+        sd_probe = torch.load(args.checkpoint, map_location='cpu')
+        if 'model' in sd_probe and isinstance(sd_probe['model'], dict):
+            sd_probe = sd_probe['model']
+        if detect_encoder_speaker(sd_probe, cfg.encoder.n_enc_channels):
+            print('Detected upstream encoder-side speaker wiring')
+            model = GradTTS.from_config(cfg, encoder_speaker=True)
+        del sd_probe
     dummy_x = jnp.zeros((1, 8), jnp.int32)
     example_init = jax.jit(model.init)(
         jax.random.PRNGKey(0), dummy_x, jnp.array([8]),

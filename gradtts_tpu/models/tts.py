@@ -61,7 +61,7 @@ class GradTTS(nn.Module):
 
     @classmethod
     def from_config(cls, cfg: GradTTSConfig, **kw):
-        return cls(
+        base = dict(
             n_vocab=cfg.n_vocab, n_spks=cfg.n_spks,
             spk_emb_dim=cfg.spk_emb_dim,
             encoder_speaker=getattr(cfg, 'encoder_speaker', False),
@@ -75,7 +75,9 @@ class GradTTS(nn.Module):
             window_size=cfg.encoder.window_size,
             n_feats=cfg.data.n_feats, dec_dim=cfg.decoder.dec_dim,
             beta_min=cfg.decoder.beta_min, beta_max=cfg.decoder.beta_max,
-            pe_scale=cfg.decoder.pe_scale, **kw)
+            pe_scale=cfg.decoder.pe_scale)
+        base.update(kw)
+        return cls(**base)
 
     def setup(self):
         if self.n_spks > 1:

@@ -183,6 +183,19 @@ _KIND_FN = {
 }
 
 
+def detect_encoder_speaker(state_dict, n_enc_channels: int) -> bool:
+    """True if a reference ``state_dict`` uses the UPSTREAM encoder-side
+    speaker wiring (speaker embedding concatenated after the prenet, so
+    encoder.proj_m consumes n_enc_channels + spk_emb_dim inputs); False for
+    the fork wiring (decoder-only conditioning). Lets checkpoint loaders
+    instantiate the right GradTTS variant automatically (SURVEY.md §3)."""
+    w = state_dict.get('encoder.proj_m.weight')
+    if w is None:
+        return False
+    in_ch = np.asarray(getattr(w, 'shape', np.shape(w)))[1]
+    return int(in_ch) > n_enc_channels
+
+
 def gradtts_torch_to_flax(state_dict, flax_params):
     """Map a reference GradTTS ``state_dict`` (tensors or ndarrays) onto the
     structure of ``flax_params`` (as produced by ``GradTTS.init``).
