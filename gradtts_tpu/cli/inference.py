@@ -55,6 +55,10 @@ def main(argv=None):
     parser.add_argument('--length-scale', type=float, default=1.0)
     parser.add_argument('--stoc', action='store_true',
                         help='use the stochastic (SDE) sampler branch')
+    parser.add_argument('--sampler', default='euler',
+                        choices=('euler', 'dpm'),
+                        help='dpm = multistep exponential integrator '
+                             '(~equal quality at far fewer steps)')
     parser.add_argument('--vocoder', default=None,
                         help='HiFi-GAN checkpoint (.pt with "generator" key '
                              'or orbax dir); mels are saved as .npy if unset')
@@ -156,7 +160,8 @@ def main(argv=None):
                               n_timesteps=args.timesteps,
                               y_max_length=y_budget, key=key,
                               temperature=args.temperature, stoc=args.stoc,
-                              spk=spk, length_scale=args.length_scale)
+                              spk=spk, length_scale=args.length_scale,
+                              sampler=args.sampler)
         return synth
 
     key = jax.random.PRNGKey(args.seed)

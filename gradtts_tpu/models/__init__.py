@@ -4,6 +4,7 @@ from gradtts_tpu.models.tts import (  # noqa: F401
 )
 from gradtts_tpu.models.text_encoder import TextEncoder  # noqa: F401
 from gradtts_tpu.models.diffusion import (  # noqa: F401
-    GradLogPEstimator2d, reverse_diffusion, forward_diffusion,
+    GradLogPEstimator2d, reverse_diffusion, reverse_diffusion_dpm,
+    forward_diffusion,
     diffusion_loss, get_noise,
 )

@@ -371,6 +371,54 @@ def reverse_diffusion(estimator_fn, z, mask, mu, n_timesteps,
     return xt
 
 
+def reverse_diffusion_dpm(estimator_fn, z, mask, mu, n_timesteps,
+                          beta_min, beta_max, spk=None):
+    """Multistep exponential-integrator sampler (DPM-Solver-2M style) for
+    the Grad-TTS probability-flow ODE — a fast-sampling capability beyond
+    the reference's Euler-only sampler (diffusion.py:254-268).
+
+    The reverse ODE dx/dt = 0.5 beta(t) (mu - x) - 0.5 beta(t) s(x, t) is
+    semi-linear: with y = x - mu and the half-cumulative noise
+    zeta(t) = 0.5 * int_0^t beta, variation of constants gives the EXACT
+    relation over a step t -> r (r < t, integrating toward 0):
+
+        y(r) = e^h y(t) + (e^h - 1) s(x(t), t)
+               + ((s_t - s_prev) / h_prev) (e^h - 1 - h)   [2nd order]
+
+    where h = zeta(t) - zeta(r) and the last term linearly extrapolates
+    the score in zeta-time from the previous evaluation (dropped on the
+    first step). Only the score term is approximated — the stiff linear
+    drift integrates exactly, which is what lets ~4 steps match ~10+ Euler
+    steps (see tests/test_dpm_sampler.py for the measured solver error).
+
+    Cost per step is identical to Euler (one estimator call); the sampler
+    compiles to a single ``lax.scan``.
+    """
+    ts = 1.0 - jnp.arange(n_timesteps + 1, dtype=z.dtype) / n_timesteps
+    zetas = 0.5 * get_noise(ts, beta_min, beta_max, cumulative=True)
+    xt = z * mask
+
+    def step(carry, i):
+        xt, s_prev, h_prev = carry
+        t = ts[i] * jnp.ones((z.shape[0],), dtype=z.dtype)
+        s_t = estimator_fn(xt, mask[..., 0], mu, t, spk)
+        h = zetas[i] - zetas[i + 1]           # > 0 (zeta decreases to 0)
+        eh = jnp.exp(h)
+        first = (i == 0)
+        # 2nd-order correction, zeroed on the first step (no history)
+        safe_hp = jnp.where(first, 1.0, h_prev)
+        corr = jnp.where(first, 0.0, (eh - 1.0 - h) / safe_hp) \
+            * (s_t - s_prev)
+        xt_new = mu + eh * (xt - mu) + (eh - 1.0) * s_t + corr
+        return ((xt_new * mask).astype(xt.dtype), s_t, h), None
+
+    s0 = jnp.zeros_like(xt)
+    (xt, _, _), _ = jax.lax.scan(
+        step, (xt, s0, jnp.asarray(1.0, z.dtype)),
+        jnp.arange(n_timesteps))
+    return xt
+
+
 def diffusion_loss(estimator_fn, key, x0, mask, mu, beta_min, beta_max,
                    spk=None, offset=1e-5):
     """Score-matching loss at uniformly sampled t

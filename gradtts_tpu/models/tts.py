@@ -23,6 +23,7 @@ from flax import linen as nn
 from gradtts_tpu.config import GradTTSConfig, fix_len_compatibility
 from gradtts_tpu.models.diffusion import (
     GradLogPEstimator2d, diffusion_loss, reverse_diffusion,
+    reverse_diffusion_dpm,
 )
 from gradtts_tpu.models.text_encoder import TextEncoder
 from gradtts_tpu.ops.mas import maximum_path
@@ -140,13 +141,18 @@ class SynthesisResult(NamedTuple):
 
 def synthesize(model: GradTTS, params, x, x_lengths, n_timesteps,
                y_max_length: int, key, temperature=1.0, stoc=False,
-               spk=None, length_scale=1.0) -> SynthesisResult:
+               spk=None, length_scale=1.0,
+               sampler: str = 'euler') -> SynthesisResult:
     """Text -> mel synthesis (parity: tts.py:54-108).
 
     ``y_max_length`` is a static padded frame budget (a bucket boundary,
     multiple of 4); frames past the duration-predicted length are masked.
     Fork quirk reproduced: ``length_scale`` multiplies the CEIL'd durations
     (tts.py:87), unlike upstream which scales before the ceil.
+
+    ``sampler``: 'euler' (reference parity; 'stoc' selects its SDE branch)
+    or 'dpm' — the multistep exponential integrator
+    (reverse_diffusion_dpm), ~2.5x fewer steps for equal ODE error.
     """
     mu_x, logw, x_mask, spk_vec = model.apply(
         params, x, x_lengths, spk, method=GradTTS.encode)
@@ -170,9 +176,14 @@ def synthesize(model: GradTTS, params, x, x_lengths, n_timesteps,
         return model.apply(params, x_t, mask2d, mu, t, s,
                            spk_is_embedded=True, method=GradTTS.estimate)
 
-    dec = reverse_diffusion(estimator_fn, z, y_mask, mu_y, n_timesteps,
-                            model.beta_min, model.beta_max, stoc=stoc,
-                            spk=spk_vec, key=s_key)
+    if sampler == 'dpm':
+        dec = reverse_diffusion_dpm(estimator_fn, z, y_mask, mu_y,
+                                    n_timesteps, model.beta_min,
+                                    model.beta_max, spk=spk_vec)
+    else:
+        dec = reverse_diffusion(estimator_fn, z, y_mask, mu_y, n_timesteps,
+                                model.beta_min, model.beta_max, stoc=stoc,
+                                spk=spk_vec, key=s_key)
     return SynthesisResult(mu_y * y_mask, dec * y_mask, attn, y_lengths, y_mask)
 
 
