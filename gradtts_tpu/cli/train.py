@@ -40,7 +40,15 @@ def main(argv=None):
                         format='%(asctime)s %(name)s %(message)s')
 
     from gradtts_tpu import get_config
+    from gradtts_tpu.parallel.mesh import initialize_distributed
     from gradtts_tpu.train.loop import train
+
+    # multi-host bring-up (no-op single host; see initialize_distributed)
+    if initialize_distributed():
+        logging.getLogger('gradtts_tpu.train').info(
+            'distributed: process %d/%d, %d local / %d global devices',
+            jax.process_index(), jax.process_count(),
+            jax.local_device_count(), jax.device_count())
 
     overrides = {}
     for kv in args.set:

@@ -10,6 +10,7 @@
 // (gradtts_tpu/ops/native/__init__.py); no pybind11 required.
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 
 namespace {
@@ -54,12 +55,19 @@ extern "C" {
 // Batched entry point. paths/values: [b, tx_max, ty_max] row-major.
 void gradtts_maximum_path(int32_t* paths, float* values, const int32_t* t_xs,
                           const int32_t* t_ys, int b, int tx_max, int ty_max) {
+  // The implicit barrier at the end of the parallel-for already orders
+  // worker writes before the caller's reads, but libgomp's barrier is not
+  // TSan-instrumented; this release/acquire pair makes the happens-before
+  // edge visible to ThreadSanitizer (one relaxed-cost atomic per item).
+  std::atomic<int> done(0);
 #pragma omp parallel for schedule(dynamic)
   for (int i = 0; i < b; ++i) {
     maximum_path_single(paths + static_cast<int64_t>(i) * tx_max * ty_max,
                         values + static_cast<int64_t>(i) * tx_max * ty_max,
                         t_xs[i], t_ys[i], ty_max);
+    done.fetch_add(1, std::memory_order_release);
   }
+  (void)done.load(std::memory_order_acquire);
 }
 
 }  // extern "C"

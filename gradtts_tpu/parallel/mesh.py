@@ -7,12 +7,48 @@ an optional tensor-parallel 'model' axis that shards the wide channel
 dimensions of the U-Net and encoder FFN weights.
 """
 
+import os
 from typing import Optional, Sequence
 
 import numpy as np
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> bool:
+    """Multi-host bring-up: ``jax.distributed.initialize`` with env-var
+    auto-detection (SURVEY.md §5 elastic-recovery plan).
+
+    On TPU pods JAX infers everything from the TPU metadata, so a bare
+    call suffices; elsewhere (CPU/GPU or manual setups) the coordinator
+    triple comes from the arguments or JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID. Returns True when a multi-process
+    runtime was initialized, False for the single-process fallback (so
+    single-host runs need no special casing). Safe to call twice.
+    """
+    coordinator_address = coordinator_address or \
+        os.environ.get('JAX_COORDINATOR_ADDRESS')
+    if num_processes is None and 'JAX_NUM_PROCESSES' in os.environ:
+        num_processes = int(os.environ['JAX_NUM_PROCESSES'])
+    if process_id is None and 'JAX_PROCESS_ID' in os.environ:
+        process_id = int(os.environ['JAX_PROCESS_ID'])
+    if coordinator_address is None and num_processes is None:
+        # TPU-pod auto-detection only: off-pod single process, do nothing
+        if os.environ.get('TPU_WORKER_HOSTNAMES') is None:
+            return False
+        jax.distributed.initialize()
+        return True
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as e:  # already initialized
+        if 'already' not in str(e):
+            raise
+    return True
 
 
 def make_mesh(data: int = -1, model: int = 1,
