@@ -91,7 +91,13 @@ def train(cfg: GradTTSConfig, n_epochs: Optional[int] = None,
                             shuffle=True, seed=cfg.train.seed)
 
     # init on host then place with shardings
-    first = next(iter(loader))
+    try:
+        first = next(iter(loader))
+    except StopIteration:
+        raise ValueError(
+            'training dataset produced no batches — check '
+            f'data.train_filelist_path ({cfg.data.train_filelist_path!r}) '
+            f'and batch_size ({cfg.train.batch_size}) vs dataset size')
     key, init_key = jax.random.split(key)
     params = jax.jit(model.init)(
         init_key, jnp.asarray(first['x']), jnp.asarray(first['x_lengths']),
