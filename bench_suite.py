@@ -116,15 +116,18 @@ def bench_waveform(B=8, TX=128, Y=768, n_steps=50):
     emit('waveform_50step_euler_hifigan', B * Y * HOP / SR / per_call,
          'audio_s/s/chip', f'ljspeech B{B} T{Y} 50-step euler + vocoder')
 
-    def vfn(vparams, mel):
-        return voc.apply(vparams, mel).sum()
-
-    jvfn = jax.jit(vfn)
     rng = np.random.default_rng(0)
     mel = jnp.asarray(rng.standard_normal((B, Y, 80)), jnp.float32)
-    per_call = timed_per_call(jvfn, lambda s: (vparams, mel))
-    emit('hifigan_vocoder_throughput', B * Y * HOP / SR / per_call,
-         'x_realtime/chip', f'B{B} T{Y} f32 (V100 reference claim: 167.9x)')
+    for dtype, tag in ((jnp.float32, 'f32'), (jnp.bfloat16, 'bf16')):
+        voc_d = Generator(HiFiGANConfig(), dtype=dtype)
+
+        def vfn(vparams, mel, _voc=voc_d):
+            return _voc.apply(vparams, mel).sum()
+
+        per_call = timed_per_call(jax.jit(vfn), lambda s: (vparams, mel))
+        emit('hifigan_vocoder_throughput_' + tag, B * Y * HOP / SR / per_call,
+             'x_realtime/chip',
+             f'B{B} T{Y} {tag} (V100 reference claim: 167.9x)')
 
 
 def bench_train_step(B=16):

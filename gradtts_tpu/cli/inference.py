@@ -65,6 +65,9 @@ def main(argv=None):
     parser.add_argument('--vocoder-config', default=None)
     parser.add_argument('--cpu', action='store_true',
                         help='run on CPU instead of the TPU backend')
+    parser.add_argument('--bf16', action='store_true',
+                        help='bfloat16 compute in the U-Net and vocoder '
+                             '(float32 params/norms; fastest on TPU)')
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--set', nargs='*', default=[],
                         help='dotted config overrides (must match training)')
@@ -95,7 +98,8 @@ def main(argv=None):
         assert cfg.n_spks > 1, 'preset is not multispeaker'
 
     print('Initializing Grad-TTS...')
-    model = GradTTS.from_config(cfg)
+    compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model = GradTTS.from_config(cfg, dtype=compute_dtype)
     # Upstream multi-speaker .pt checkpoints use encoder-side speaker
     # concat; detect the wiring from the state dict and rebuild the model
     # accordingly (SURVEY.md §3 quirk; detect_encoder_speaker docstring).
@@ -107,7 +111,8 @@ def main(argv=None):
             sd_probe = sd_probe['model']
         if detect_encoder_speaker(sd_probe, cfg.encoder.n_enc_channels):
             print('Detected upstream encoder-side speaker wiring')
-            model = GradTTS.from_config(cfg, encoder_speaker=True)
+            model = GradTTS.from_config(cfg, encoder_speaker=True,
+                                        dtype=compute_dtype)
         del sd_probe
     dummy_x = jnp.zeros((1, 8), jnp.int32)
     example_init = jax.jit(model.init)(
@@ -128,7 +133,7 @@ def main(argv=None):
             '/root/reference/checkpts/hifigan-config.json'
         vcfg = HiFiGANConfig.from_json(vcfg_path) \
             if os.path.exists(vcfg_path) else HiFiGANConfig()
-        vocoder = Generator(vcfg)
+        vocoder = Generator(vcfg, dtype=compute_dtype)
         print('Initializing HiFi-GAN...')
         if args.vocoder.endswith(('.pt', '.pth')):
             import torch

@@ -129,3 +129,19 @@ def test_discriminator_p_matches_torch():
     j_out, j_fmap = jd.apply({'params': params}, jnp.array(y))
     np.testing.assert_allclose(np.array(j_out), t_out.numpy(), atol=2e-5,
                                rtol=1e-4)
+
+
+def test_generator_bf16_close_to_f32():
+    """bf16 compute path: float32 params, bf16 convs — waveform stays
+    within bf16 rounding of the f32 path (inaudible for a GAN vocoder)."""
+    cfg = HiFiGANConfig.from_json(dict(SMALL))
+    jgen32 = Generator(cfg)
+    jgen16 = Generator(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((2, 20, 80)), jnp.float32)
+    params = jgen32.init(jax.random.PRNGKey(0), mel)
+    w32 = np.array(jgen32.apply(params, mel))
+    w16 = np.array(jgen16.apply(params, mel))
+    assert w16.dtype == np.float32  # tanh output is f32 either way
+    assert np.max(np.abs(w16 - w32)) < 0.05
+    assert np.mean(np.abs(w16 - w32)) < 5e-3
