@@ -239,7 +239,12 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size, collate: BatchCollate,
                  shuffle=True, seed=0, drop_last=True, num_workers=4,
-                 prefetch=2):
+                 prefetch=2, shard=None):
+        """``batch_size`` is the GLOBAL batch. ``shard=(index, count)``
+        makes this a per-host input pipeline: every host computes the same
+        shuffled order (same seed), then loads only its contiguous
+        ``batch_size/count`` block of each global batch — pair with
+        ``shard_batch(..., per_host=True)``."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate = collate
@@ -248,6 +253,14 @@ class DataLoader:
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
+        self.shard = shard
+        if shard is not None:
+            index, count = shard
+            if not (0 <= index < count):
+                raise ValueError(f'bad shard {shard}')
+            if batch_size % count:
+                raise ValueError(f'global batch {batch_size} not divisible '
+                                 f'by shard count {count}')
         self._epoch = 0
 
     def __len__(self):
@@ -262,8 +275,12 @@ class DataLoader:
         self._epoch += 1
         batches = [order[i:i + self.batch_size]
                    for i in range(0, len(order), self.batch_size)]
-        if self.drop_last:
+        if self.drop_last or self.shard is not None:
             batches = [b for b in batches if len(b) == self.batch_size]
+        if self.shard is not None:
+            index, count = self.shard
+            local = self.batch_size // count
+            batches = [b[index * local:(index + 1) * local] for b in batches]
 
         q = queue_mod.Queue(maxsize=self.prefetch)
         stop = threading.Event()

@@ -75,9 +75,27 @@ def batch_sharding(mesh: Mesh):
     return shard
 
 
-def shard_batch(mesh: Mesh, batch: dict) -> dict:
+def shard_batch(mesh: Mesh, batch: dict, per_host: bool = False) -> dict:
+    """Place a batch dict on the mesh, batch axis sharded over 'data'.
+
+    Single process: plain ``device_put``. Multi-process (``per_host=True``,
+    the per-host input pipeline): each process passes only its LOCAL rows
+    (``DataLoader(shard=(process_index, process_count))``) and the global
+    array is assembled with ``make_array_from_process_local_data`` — no
+    host ever materializes the global batch, which is the point of a
+    per-host input pipeline on a pod.
+    """
     fn = batch_sharding(mesh)
-    return {k: jax.device_put(v, fn(v)) for k, v in batch.items()}
+    if not per_host or jax.process_count() == 1:
+        return {k: jax.device_put(v, fn(v)) for k, v in batch.items()}
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        sharding = fn(v)
+        global_shape = (v.shape[0] * jax.process_count(),) + v.shape[1:]
+        out[k] = jax.make_array_from_process_local_data(
+            sharding, v, global_shape)
+    return out
 
 
 # --- parameter sharding rules (tensor parallelism) ------------------------

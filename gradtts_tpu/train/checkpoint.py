@@ -19,13 +19,19 @@ def save_checkpoint(ckpt_dir: str, state, step: int, key=None):
     ckpt_dir = os.path.abspath(ckpt_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(ckpt_dir, f'step_{step:08d}')
+    multihost = jax.process_count() > 1
+    # Single host: pull to numpy (cheap, keeps the file layout trivial).
+    # Multi-host: hand orbax the sharded jax.Arrays directly — every
+    # process writes its own shards, process 0 the metadata; a device_get
+    # here would fail on non-addressable shards.
+    fetch = (lambda t: t) if multihost else jax.device_get
     payload = {
         'step': np.asarray(step),
-        'params': jax.device_get(state.params),
-        'opt_state': jax.device_get(state.opt_state),
+        'params': fetch(state.params),
+        'opt_state': fetch(state.opt_state),
     }
     if key is not None:
-        payload['key'] = jax.device_get(key)
+        payload['key'] = fetch(key)
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, payload, force=True)
     return path

@@ -40,10 +40,15 @@ class MetricsLogger:
     """TensorBoard (via torch.utils.tensorboard when available) + train.log
     text file, mirroring the reference's logging surfaces."""
 
-    def __init__(self, log_dir):
-        os.makedirs(log_dir, exist_ok=True)
+    def __init__(self, log_dir, enabled: bool = True):
+        """``enabled=False`` makes every method a no-op — used on non-zero
+        processes so a shared log_dir isn't written N times."""
         self.log_dir = log_dir
         self._tb = None
+        self._txt = None
+        if not enabled:
+            return
+        os.makedirs(log_dir, exist_ok=True)
         try:
             from torch.utils.tensorboard import SummaryWriter
             self._tb = SummaryWriter(log_dir=log_dir)
@@ -57,13 +62,15 @@ class MetricsLogger:
                 self._tb.add_scalar(k, float(v), global_step=step)
 
     def text(self, msg: str):
-        self._txt.write(msg + '\n')
-        self._txt.flush()
+        if self._txt is not None:
+            self._txt.write(msg + '\n')
+            self._txt.flush()
 
     def close(self):
         if self._tb is not None:
             self._tb.close()
-        self._txt.close()
+        if self._txt is not None:
+            self._txt.close()
 
 
 def train(cfg: GradTTSConfig, n_epochs: Optional[int] = None,
@@ -78,19 +85,30 @@ def train(cfg: GradTTSConfig, n_epochs: Optional[int] = None,
     log_dir = log_dir or cfg.train.log_dir
     n_epochs = n_epochs if n_epochs is not None else cfg.train.n_epochs
     mesh = mesh or make_mesh(cfg.train.mesh_data, cfg.train.mesh_model)
+    multihost = jax.process_count() > 1
 
     dtype = jnp.bfloat16 if cfg.train.use_bf16_compute else jnp.float32
     model = GradTTS.from_config(cfg, dtype=dtype)
-    key = jax.random.PRNGKey(cfg.train.seed)
+    # The PRNG key lives on the host as numpy: numpy inputs are valid on a
+    # multi-process mesh (every process passes the same value), committed
+    # process-local jax.Arrays are not.
+    key = np.asarray(jax.random.PRNGKey(cfg.train.seed))
+
+    def split_key(k):
+        a, b = jax.random.split(k)
+        return np.asarray(a), np.asarray(b)
 
     if loader is None:
         dataset = dataset_from_config(cfg, 'train')
         collate = BatchCollate(x_buckets=cfg.data.x_buckets,
                                y_buckets=cfg.data.y_buckets)
+        # per-host input pipeline: each process loads only its block of
+        # every global batch (same shuffled order everywhere)
+        shard = ((jax.process_index(), jax.process_count())
+                 if multihost else None)
         loader = DataLoader(dataset, cfg.train.batch_size, collate,
-                            shuffle=True, seed=cfg.train.seed)
+                            shuffle=True, seed=cfg.train.seed, shard=shard)
 
-    # init on host then place with shardings
     try:
         first = next(iter(loader))
     except StopIteration:
@@ -98,33 +116,63 @@ def train(cfg: GradTTSConfig, n_epochs: Optional[int] = None,
             'training dataset produced no batches — check '
             f'data.train_filelist_path ({cfg.data.train_filelist_path!r}) '
             f'and batch_size ({cfg.train.batch_size}) vs dataset size')
-    key, init_key = jax.random.split(key)
-    params = jax.jit(model.init)(
-        init_key, jnp.asarray(first['x']), jnp.asarray(first['x_lengths']),
-        jnp.asarray(first['y']), jnp.asarray(first['y_lengths']),
-        jnp.asarray(first['spk']) if 'spk' in first else None)
+    key, init_key = split_key(key)
 
     optimizer = make_optimizer(cfg.train.learning_rate)
-    state = init_state(params, optimizer)
 
-    p_shard = param_shardings(mesh, state.params)
-    state = TrainState(
-        step=jax.device_put(state.step, replicated(mesh)),
-        params=jax.device_put(state.params, p_shard),
-        opt_state=jax.device_put(state.opt_state,
-                                 param_shardings(mesh, state.opt_state)))
+    # Initialize INSIDE jit with out_shardings so parameters materialize
+    # already sharded across the (possibly multi-host) mesh; dummy shapes
+    # are compile-time constants, so no host batch crosses process
+    # boundaries.
+    x0 = np.zeros((2, 8), np.int32)
+    l0 = np.full((2,), 8, np.int32)
+    y0 = np.zeros((2, 8, cfg.data.n_feats), np.float32)
+    spk0 = (np.zeros((2,) + np.shape(first['spk'])[1:],
+                     np.asarray(first['spk']).dtype)
+            if 'spk' in first else None)
+
+    def init_all(k):
+        params = model.init(k, x0, l0, y0, l0, spk0)
+        return init_state(params, optimizer)
+
+    abstract = jax.eval_shape(init_all, jax.random.PRNGKey(0))
+    state_shardings = TrainState(
+        step=replicated(mesh),
+        params=param_shardings(mesh, abstract.params),
+        opt_state=param_shardings(mesh, abstract.opt_state))
+    with mesh:
+        state = jax.jit(init_all, out_shardings=state_shardings)(init_key)
 
     start_step = 0
     ckpt_dir = os.path.join(log_dir, 'ckpt')
-    if resume and latest_checkpoint(ckpt_dir):
-        payload = restore_checkpoint(ckpt_dir)
-        state = TrainState(
-            step=jnp.asarray(payload['step']),
-            params=jax.device_put(payload['params'], p_shard),
-            opt_state=jax.device_put(
-                payload['opt_state'], param_shardings(mesh, payload['opt_state'])))
+    latest = latest_checkpoint(ckpt_dir) if resume else None
+    if latest:
+        # typed restore: the freshly-initialized state is the template, so
+        # optax NamedTuple states come back as the right types (untyped
+        # orbax restore yields plain dicts/lists that adam rejects)
+        template = {'step': np.zeros((), np.int32),
+                    'params': jax.tree_util.tree_map(
+                        lambda s: np.zeros(s.shape, s.dtype),
+                        abstract.params),
+                    'opt_state': jax.tree_util.tree_map(
+                        lambda s: np.zeros(s.shape, s.dtype),
+                        abstract.opt_state)}
+        try:  # checkpoints written by the loop carry the PRNG key
+            import orbax.checkpoint as ocp
+            md = ocp.PyTreeCheckpointer().metadata(latest)
+            tree = getattr(getattr(md, 'item_metadata', md), 'tree', None)
+            if tree is not None and 'key' in tree:
+                template['key'] = np.zeros((2,), np.uint32)
+        except Exception:
+            pass
+        payload = restore_checkpoint(ckpt_dir, template=template)
+        with mesh:
+            state = jax.jit(lambda s: s, out_shardings=state_shardings)(
+                TrainState(step=np.asarray(payload['step'], np.int32),
+                           params=payload['params'],
+                           opt_state=payload['opt_state']))
         if 'key' in payload:
-            key = jnp.asarray(payload['key'])
+            key = np.asarray(payload['key'])
         start_step = int(payload['step'])
         log.info('resumed from step %d', start_step)
 
@@ -132,15 +180,15 @@ def train(cfg: GradTTSConfig, n_epochs: Optional[int] = None,
                               grad_clip_norm=cfg.train.grad_clip_norm)
     jit_step = jax.jit(step_fn, donate_argnums=(0,))
 
-    metrics_log = MetricsLogger(log_dir)
+    metrics_log = MetricsLogger(log_dir, enabled=jax.process_index() == 0)
     step = start_step
     with mesh:
         for epoch in range(n_epochs):
             epoch_metrics = []
             t0 = time.time()
             for batch in loader:
-                key, step_key = jax.random.split(key)
-                sharded = shard_batch(mesh, batch)
+                key, step_key = split_key(key)
+                sharded = shard_batch(mesh, batch, per_host=multihost)
                 state, metrics = jit_step(state, sharded, step_key)
                 step += 1
                 epoch_metrics.append(

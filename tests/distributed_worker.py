@@ -1,0 +1,90 @@
+"""Worker for the 2-process distributed training test (not a test module).
+
+Run as: python distributed_worker.py <process_id> <port> <log_dir>
+
+Each of the two processes exposes 4 virtual CPU devices, joins a
+jax.distributed cluster (global mesh: 8 devices, ('data','model') = (4,2)),
+runs two full training steps with a per-host injected loader, saves an
+orbax checkpoint from all processes, then resumes from it. Prints
+``LOSS <v>`` (must match across processes — the psum'd global loss) and
+``RESUMED <step>``.
+"""
+
+import os
+import sys
+
+
+def main():
+    pid, port, log_dir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+
+    flags = os.environ.get('XLA_FLAGS', '')
+    if '--xla_force_host_platform_device_count' not in flags:
+        os.environ['XLA_FLAGS'] = (
+            flags + ' --xla_force_host_platform_device_count=4').strip()
+    # CPU cross-process collectives go through gloo; in a sandboxed
+    # container only loopback routes between the two processes
+    os.environ.setdefault('GLOO_SOCKET_IFNAME', 'lo')
+
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+
+    from gradtts_tpu.parallel.mesh import initialize_distributed
+    assert initialize_distributed(coordinator_address=f'127.0.0.1:{port}',
+                                  num_processes=2, process_id=pid)
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 8, jax.devices()
+
+    import numpy as np
+    from gradtts_tpu import get_config
+    from gradtts_tpu.parallel.mesh import make_mesh
+    from gradtts_tpu.train.loop import train
+
+    cfg = get_config('ljspeech', **{
+        'encoder.n_enc_channels': 16, 'encoder.filter_channels': 32,
+        'encoder.filter_channels_dp': 16, 'encoder.n_enc_layers': 1,
+        'data.n_feats': 16, 'decoder.dec_dim': 16,
+        'train.save_every': 1, 'train.use_bf16_compute': False,
+    })
+    mesh = make_mesh(data=4, model=2)
+
+    # per-host loader: global batch 8, each process contributes 4 rows.
+    # Rows differ per process (disjoint data), shapes agree.
+    B_local, TX, TY = 4, 12, 32
+    rng = np.random.default_rng(100 + pid)
+    batches = []
+    for _ in range(2):
+        batches.append({
+            'x': rng.integers(1, cfg.n_vocab, (B_local, TX)).astype(np.int32),
+            'x_lengths': np.full((B_local,), TX, np.int32),
+            'y': rng.standard_normal((B_local, TY, cfg.data.n_feats))
+                 .astype(np.float32),
+            'y_lengths': np.full((B_local,), TY, np.int32),
+        })
+
+    state = train(cfg, n_epochs=1, max_steps=2, log_dir=log_dir, mesh=mesh,
+                  resume=False, loader=batches)
+    step0 = int(state.step)
+    assert step0 == 2, step0
+
+    # the loss of one more deterministic step must agree across processes
+    # (it is a psum over the global batch)
+    from gradtts_tpu.models import GradTTS
+    from gradtts_tpu.train.state import make_optimizer, make_train_step
+    from gradtts_tpu.parallel.mesh import shard_batch
+    import jax.numpy as jnp
+    model = GradTTS.from_config(cfg)
+    step_fn = jax.jit(make_train_step(model, make_optimizer(1e-4),
+                                      out_size=cfg.out_size))
+    with mesh:
+        sharded = shard_batch(mesh, batches[0], per_host=True)
+        _, metrics = step_fn(state, sharded, np.asarray(jax.random.PRNGKey(7)))
+    print(f'LOSS {float(metrics["loss/total"]):.6f}', flush=True)
+
+    # resume from the checkpoint written at epoch end
+    state2 = train(cfg, n_epochs=1, max_steps=1, log_dir=log_dir, mesh=mesh,
+                   resume=True, loader=batches)
+    print(f'RESUMED {int(state2.step)}', flush=True)
+
+
+if __name__ == '__main__':
+    main()
