@@ -51,6 +51,25 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     return True
 
 
+def multihost_barrier(name: str, timeout_s: int = 1200) -> None:
+    """Block until every process reaches this barrier (coordination
+    service, NOT a device collective).
+
+    Needed because XLA's cross-process communicator bring-up has a short
+    hard-coded key-exchange timeout (~30 s in the gloo CPU backend): if one
+    process finishes compiling a program and starts executing its first
+    collective while a peer is still compiling, the fast process times out.
+    A barrier between compile and first execution removes the skew. No-op
+    in single-process runs.
+    """
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed
+    client = distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=timeout_s * 1000)
+
+
 def make_mesh(data: int = -1, model: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
     """Build a ('data', 'model') mesh. data == -1 uses all remaining

@@ -24,7 +24,8 @@ from gradtts_tpu.data.dataset import (
 )
 from gradtts_tpu.models import GradTTS, synthesize
 from gradtts_tpu.parallel.mesh import (
-    batch_sharding, make_mesh, param_shardings, replicated, shard_batch,
+    batch_sharding, make_mesh, multihost_barrier, param_shardings,
+    replicated, shard_batch,
 )
 from gradtts_tpu.train.checkpoint import (
     latest_checkpoint, restore_checkpoint, save_checkpoint,
@@ -178,7 +179,32 @@ def train(cfg: GradTTSConfig, n_epochs: Optional[int] = None,
 
     step_fn = make_train_step(model, optimizer, out_size=cfg.out_size,
                               grad_clip_norm=cfg.train.grad_clip_norm)
-    jit_step = jax.jit(step_fn, donate_argnums=(0,))
+    # Pin the output state to the SAME canonical shardings as the input
+    # state: without this GSPMD propagates its own (e.g. TP-sharded biases)
+    # onto the updated params, which forces a second silent compile on step
+    # 2 under jit and breaks AOT executables outright.
+    jit_step = jax.jit(step_fn, donate_argnums=(0,),
+                       out_shardings=(state_shardings, replicated(mesh)))
+    if multihost:
+        # don't let a fast-compiling process start executing collectives
+        # while a peer is still compiling (see multihost_barrier docstring)
+        multihost_barrier('train/state_ready')
+    # Per batch-signature AOT executables (multihost only): compile first,
+    # barrier, then execute — keeps every process's first collective of a
+    # new program within the communicator bring-up window.
+    _executables = {}
+
+    def run_step(st, sharded, step_key):
+        if not multihost:
+            return jit_step(st, sharded, step_key)
+        sig = tuple(sorted((k, np.shape(v), str(np.asarray(v).dtype) if
+                            isinstance(v, np.ndarray) else str(v.dtype))
+                           for k, v in sharded.items()))
+        if sig not in _executables:
+            _executables[sig] = jit_step.lower(st, sharded,
+                                               step_key).compile()
+            multihost_barrier(f'train/compiled_{len(_executables)}')
+        return _executables[sig](st, sharded, step_key)
 
     metrics_log = MetricsLogger(log_dir, enabled=jax.process_index() == 0)
     step = start_step
@@ -189,7 +215,7 @@ def train(cfg: GradTTSConfig, n_epochs: Optional[int] = None,
             for batch in loader:
                 key, step_key = split_key(key)
                 sharded = shard_batch(mesh, batch, per_host=multihost)
-                state, metrics = jit_step(state, sharded, step_key)
+                state, metrics = run_step(state, sharded, step_key)
                 step += 1
                 epoch_metrics.append(
                     {k: float(v) for k, v in metrics.items()})

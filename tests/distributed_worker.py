@@ -17,10 +17,12 @@ import sys
 def main():
     pid, port, log_dir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
 
-    flags = os.environ.get('XLA_FLAGS', '')
-    if '--xla_force_host_platform_device_count' not in flags:
-        os.environ['XLA_FLAGS'] = (
-            flags + ' --xla_force_host_platform_device_count=4').strip()
+    # force EXACTLY 4 virtual devices, overriding any inherited flag (the
+    # pytest conftest exports 8 for single-process tests)
+    flags = [f for f in os.environ.get('XLA_FLAGS', '').split()
+             if '--xla_force_host_platform_device_count' not in f]
+    flags.append('--xla_force_host_platform_device_count=4')
+    os.environ['XLA_FLAGS'] = ' '.join(flags)
     # CPU cross-process collectives go through gloo; in a sandboxed
     # container only loopback routes between the two processes
     os.environ.setdefault('GLOO_SOCKET_IFNAME', 'lo')
@@ -70,14 +72,18 @@ def main():
     # (it is a psum over the global batch)
     from gradtts_tpu.models import GradTTS
     from gradtts_tpu.train.state import make_optimizer, make_train_step
-    from gradtts_tpu.parallel.mesh import shard_batch
-    import jax.numpy as jnp
+    from gradtts_tpu.parallel.mesh import multihost_barrier, shard_batch
     model = GradTTS.from_config(cfg)
     step_fn = jax.jit(make_train_step(model, make_optimizer(1e-4),
                                       out_size=cfg.out_size))
     with mesh:
         sharded = shard_batch(mesh, batches[0], per_host=True)
-        _, metrics = step_fn(state, sharded, np.asarray(jax.random.PRNGKey(7)))
+        k7 = np.asarray(jax.random.PRNGKey(7))
+        # compile → barrier → execute, so neither process's first collective
+        # of this new program waits on a peer that is still compiling
+        compiled = step_fn.lower(state, sharded, k7).compile()
+        multihost_barrier('worker/loss_step_compiled')
+        _, metrics = compiled(state, sharded, k7)
     print(f'LOSS {float(metrics["loss/total"]):.6f}', flush=True)
 
     # resume from the checkpoint written at epoch end
