@@ -61,6 +61,36 @@ def load_wav(path):
             return data, sr
 
 
+def wav_header(path):
+    """(n_samples, sample_rate) parsed from the RIFF header alone — no
+    sample data is read, so per-item length metadata for a whole corpus is
+    cheap (used to derive batch shapes from the GLOBAL batch in multi-host
+    runs; see DataLoader)."""
+    with open(path, 'rb') as f:
+        riff = f.read(12)
+        if len(riff) < 12 or riff[:4] != b'RIFF' or riff[8:12] != b'WAVE':
+            raise ValueError(f'{path}: not a RIFF/WAVE file')
+        sr = block_align = data_size = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            cid = hdr[:4]
+            size = int.from_bytes(hdr[4:8], 'little')
+            if cid == b'fmt ':
+                fmt = f.read(size)
+                sr = int.from_bytes(fmt[4:8], 'little')
+                block_align = int.from_bytes(fmt[12:14], 'little')
+            elif cid == b'data':
+                data_size = size
+                break
+            else:
+                f.seek(size + (size & 1), 1)
+        if sr is None or not block_align or data_size is None:
+            raise ValueError(f'{path}: malformed WAV header')
+        return data_size // block_align, sr
+
+
 def bucket_length(length: int, buckets: Sequence[int]) -> int:
     """Smallest bucket >= length (last bucket if none fits)."""
     for b in buckets:
@@ -128,6 +158,19 @@ class TextMelDataset:
         path, text = self.filepaths_and_text[index][:2]
         return {'x': self.get_text(text), 'y': self.get_mel(path)}
 
+    def item_lengths(self, index):
+        """(token count, mel frame count) WITHOUT decoding audio — text is
+        tokenized, audio length comes from the WAV header. Must match the
+        shapes __getitem__ produces; multi-host shape agreement depends on
+        it (DataLoader derives global batch shapes from this)."""
+        path, text = self.filepaths_and_text[index][:2]
+        n_samples, sr = wav_header(path)
+        if sr != self.sample_rate:
+            raise ValueError(f'{path}: sample rate {sr} != {self.sample_rate}')
+        pad = (self.n_fft - self.hop_length) // 2
+        n_frames = 1 + (n_samples + 2 * pad - self.n_fft) // self.hop_length
+        return len(self.get_text(text)), n_frames
+
     def __len__(self):
         return len(self.filepaths_and_text)
 
@@ -193,16 +236,35 @@ class BatchCollate:
         self.y_buckets = [fix_len_compatibility(b) for b in y_buckets]
         self.fixed_shapes = fixed_shapes  # (Xb, Yb) to disable bucketing
 
-    def __call__(self, batch: List[Dict]) -> Dict[str, np.ndarray]:
-        B = len(batch)
-        x_max = max(item['x'].shape[-1] for item in batch)
-        y_max = fix_len_compatibility(max(item['y'].shape[0] for item in batch))
+    def shapes_for(self, x_max: int, y_max: int):
+        """(Xb, Yb) bucket shapes for given max lengths. Deterministic in
+        (x_max, y_max) so hosts that agree on the GLOBAL batch's maxima
+        agree on shapes."""
+        y_max = fix_len_compatibility(y_max)
         if self.fixed_shapes is not None:
             xb, yb = self.fixed_shapes
         else:
             xb = bucket_length(x_max, self.x_buckets)
             yb = bucket_length(y_max, self.y_buckets)
-        xb, yb = max(xb, x_max), max(yb, y_max)
+        return max(xb, x_max), max(yb, y_max)
+
+    def __call__(self, batch: List[Dict],
+                 shapes: Optional[tuple] = None) -> Dict[str, np.ndarray]:
+        B = len(batch)
+        x_max = max(item['x'].shape[-1] for item in batch)
+        y_max = max(item['y'].shape[0] for item in batch)
+        if shapes is not None:
+            # shapes derived from global (cross-host) metadata: must cover
+            # every local item, otherwise the metadata is wrong — fail loud
+            # rather than silently diverge across hosts
+            xb, yb = shapes
+            if xb < x_max or yb < fix_len_compatibility(y_max):
+                raise ValueError(
+                    f'provided batch shapes {shapes} smaller than local '
+                    f'maxima ({x_max}, {fix_len_compatibility(y_max)}) — '
+                    'item_lengths metadata disagrees with actual items')
+        else:
+            xb, yb = self.shapes_for(x_max, y_max)
         n_feats = batch[0]['y'].shape[-1]
 
         x = np.zeros((B, xb), np.int32)
@@ -262,6 +324,20 @@ class DataLoader:
                 raise ValueError(f'global batch {batch_size} not divisible '
                                  f'by shard count {count}')
         self._epoch = 0
+        self._lengths = None  # lazy [N, 2] (x_len, y_len) metadata
+
+    def _item_lengths(self) -> np.ndarray:
+        """Per-item (token count, mel frames) for the whole dataset, from
+        headers/text only. Computed once; used so every host derives batch
+        shapes from the GLOBAL batch's maxima (local rows differ per host,
+        shapes must not)."""
+        if self._lengths is None:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max(4, self.num_workers)) as pool:
+                self._lengths = np.array(
+                    list(pool.map(self.dataset.item_lengths,
+                                  range(len(self.dataset)))), np.int64)
+        return self._lengths
 
     def __len__(self):
         n = len(self.dataset)
@@ -277,7 +353,18 @@ class DataLoader:
                    for i in range(0, len(order), self.batch_size)]
         if self.drop_last or self.shard is not None:
             batches = [b for b in batches if len(b) == self.batch_size]
+        shapes = [None] * len(batches)
         if self.shard is not None:
+            # derive each batch's static shapes from the GLOBAL index set
+            # BEFORE slicing local rows: every host sees the same maxima,
+            # so collated shapes (and hence compiled programs / barrier
+            # signatures) are identical across hosts even though each host
+            # only materializes its own rows
+            if hasattr(self.dataset, 'item_lengths'):
+                lengths = self._item_lengths()
+                shapes = [self.collate.shapes_for(
+                    int(lengths[b, 0].max()), int(lengths[b, 1].max()))
+                    for b in batches]
             index, count = self.shard
             local = self.batch_size // count
             batches = [b[index * local:(index + 1) * local] for b in batches]
@@ -289,12 +376,13 @@ class DataLoader:
             try:
                 from concurrent.futures import ThreadPoolExecutor
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for idx_batch in batches:
+                    for idx_batch, shape in zip(batches, shapes):
                         if stop.is_set():
                             return
                         items = list(pool.map(self.dataset.__getitem__,
                                               [int(i) for i in idx_batch]))
-                        q.put(self.collate(items))
+                        q.put(self.collate(items, shapes=shape)
+                              if shape is not None else self.collate(items))
             except Exception as e:  # surface worker errors to the consumer
                 q.put(e)
             finally:

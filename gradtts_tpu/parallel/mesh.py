@@ -64,10 +64,19 @@ def multihost_barrier(name: str, timeout_s: int = 1200) -> None:
     """
     if jax.process_count() <= 1:
         return
-    from jax._src import distributed
-    client = distributed.global_state.client
+    client = None
+    try:
+        # internal module layout changes across JAX releases; fall back to
+        # the public (device-collective) sync if it moves
+        from jax._src import distributed
+        client = distributed.global_state.client
+    except Exception:
+        client = None
     if client is not None:
         client.wait_at_barrier(name, timeout_in_ms=timeout_s * 1000)
+    else:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
 
 
 def make_mesh(data: int = -1, model: int = 1,

@@ -8,6 +8,8 @@ re-designed for TPU: a single compiled train step runs under a
 scalars once per step; checkpoints carry optimizer state.
 """
 
+import hashlib
+import itertools
 import logging
 import os
 import time
@@ -35,6 +37,12 @@ from gradtts_tpu.train.state import (
 )
 
 log = logging.getLogger('gradtts_tpu.train')
+
+# Coordination-service barrier ids must not be reused across train() calls
+# in one process (the distributed worker calls train() twice for resume;
+# barrier-reuse semantics differ across XLA versions) — every invocation
+# gets a fresh prefix.
+_train_invocations = itertools.count()
 
 
 class MetricsLogger:
@@ -87,6 +95,7 @@ def train(cfg: GradTTSConfig, n_epochs: Optional[int] = None,
     n_epochs = n_epochs if n_epochs is not None else cfg.train.n_epochs
     mesh = mesh or make_mesh(cfg.train.mesh_data, cfg.train.mesh_model)
     multihost = jax.process_count() > 1
+    bar = f'train{next(_train_invocations)}'  # per-invocation barrier prefix
 
     dtype = jnp.bfloat16 if cfg.train.use_bf16_compute else jnp.float32
     model = GradTTS.from_config(cfg, dtype=dtype)
@@ -142,7 +151,17 @@ def train(cfg: GradTTSConfig, n_epochs: Optional[int] = None,
         params=param_shardings(mesh, abstract.params),
         opt_state=param_shardings(mesh, abstract.opt_state))
     with mesh:
-        state = jax.jit(init_all, out_shardings=state_shardings)(init_key)
+        init_jit = jax.jit(init_all, out_shardings=state_shardings)
+        if multihost:
+            # compile -> barrier -> execute: the first collective of a new
+            # program must not start while a peer is still compiling (the
+            # cross-process communicator bring-up has a ~30s key-exchange
+            # timeout; see multihost_barrier docstring)
+            init_exec = init_jit.lower(init_key).compile()
+            multihost_barrier(f'{bar}/init_compiled')
+            state = init_exec(init_key)
+        else:
+            state = init_jit(init_key)
 
     start_step = 0
     ckpt_dir = os.path.join(log_dir, 'ckpt')
@@ -168,10 +187,16 @@ def train(cfg: GradTTSConfig, n_epochs: Optional[int] = None,
             pass
         payload = restore_checkpoint(ckpt_dir, template=template)
         with mesh:
-            state = jax.jit(lambda s: s, out_shardings=state_shardings)(
-                TrainState(step=np.asarray(payload['step'], np.int32),
-                           params=payload['params'],
-                           opt_state=payload['opt_state']))
+            reshard_jit = jax.jit(lambda s: s, out_shardings=state_shardings)
+            restored = TrainState(step=np.asarray(payload['step'], np.int32),
+                                  params=payload['params'],
+                                  opt_state=payload['opt_state'])
+            if multihost:  # same compile -> barrier -> execute discipline
+                reshard_exec = reshard_jit.lower(restored).compile()
+                multihost_barrier(f'{bar}/restore_compiled')
+                state = reshard_exec(restored)
+            else:
+                state = reshard_jit(restored)
         if 'key' in payload:
             key = np.asarray(payload['key'])
         start_step = int(payload['step'])
@@ -188,10 +213,15 @@ def train(cfg: GradTTSConfig, n_epochs: Optional[int] = None,
     if multihost:
         # don't let a fast-compiling process start executing collectives
         # while a peer is still compiling (see multihost_barrier docstring)
-        multihost_barrier('train/state_ready')
-    # Per batch-signature AOT executables (multihost only): compile first,
-    # barrier, then execute — keeps every process's first collective of a
-    # new program within the communicator bring-up window.
+        multihost_barrier(f'{bar}/state_ready')
+    # Per batch-signature AOT executables (multihost only): agree on the
+    # signature, compile, barrier, then execute — keeps every process's
+    # first collective of a new program within the communicator bring-up
+    # window. Barrier names are derived from a HASH of the signature (not a
+    # local counter), so divergent shapes can never silently pair up two
+    # different programs; the pre-compile `sig` barrier fails fast with a
+    # diagnostic if hosts ever disagree (they shouldn't: the sharded
+    # DataLoader derives shapes from global metadata).
     _executables = {}
 
     def run_step(st, sharded, step_key):
@@ -201,9 +231,17 @@ def train(cfg: GradTTSConfig, n_epochs: Optional[int] = None,
                             isinstance(v, np.ndarray) else str(v.dtype))
                            for k, v in sharded.items()))
         if sig not in _executables:
+            digest = hashlib.sha1(repr(sig).encode()).hexdigest()[:16]
+            try:
+                multihost_barrier(f'{bar}/sig_{digest}', timeout_s=300)
+            except Exception as e:
+                raise RuntimeError(
+                    'cross-process batch-shape agreement barrier failed — '
+                    'hosts likely collated different shapes for the same '
+                    f'global batch. Local signature: {sig}') from e
             _executables[sig] = jit_step.lower(st, sharded,
                                                step_key).compile()
-            multihost_barrier(f'train/compiled_{len(_executables)}')
+            multihost_barrier(f'{bar}/compiled_{digest}')
         return _executables[sig](st, sharded, step_key)
 
     metrics_log = MetricsLogger(log_dir, enabled=jax.process_index() == 0)

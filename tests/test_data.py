@@ -11,7 +11,7 @@ from gradtts_tpu.data.mel import (
 )
 from gradtts_tpu.data.dataset import (
     BatchCollate, DataLoader, TextMelDataset, TextMelSpeakerDataset,
-    bucket_length, load_wav, transform_txt,
+    bucket_length, load_wav, transform_txt, wav_header,
 )
 
 CMUDICT = os.path.join(os.path.dirname(__file__), '..', 'resources',
@@ -150,6 +150,73 @@ def test_speaker_dataset(tmp_path):
     ds = TextMelSpeakerDataset(str(filelist), CMUDICT, shuffle=False)
     batch = BatchCollate()([ds[0], ds[1]])
     np.testing.assert_array_equal(batch['spk'], [7, 3])
+
+
+def test_wav_header_and_item_lengths(tmp_path):
+    """item_lengths must predict __getitem__'s shapes exactly — multi-host
+    shape agreement (loop.py barrier signatures) is built on it."""
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f'{i}.wav')
+        wav = _write_wav(p, seconds=0.41 + 0.17 * i, seed=i)
+        n, sr = wav_header(p)
+        assert (n, sr) == (len(wav), 22050)
+        paths.append(p)
+    filelist = tmp_path / 'list.txt'
+    filelist.write_text('\n'.join(
+        f'{p}|some words here number {"again " * i}{i}'
+        for i, p in enumerate(paths)))
+    ds = TextMelDataset(str(filelist), CMUDICT, shuffle=False)
+    for i in range(3):
+        xl, yl = ds.item_lengths(i)
+        item = ds[i]
+        assert xl == item['x'].shape[-1]
+        assert yl == item['y'].shape[0]
+
+
+def test_sharded_loader_shapes_agree_across_hosts(tmp_path):
+    """Two per-host loaders over the same dataset must collate IDENTICAL
+    batch shapes even though each host's local rows have different maxima
+    (ADVICE r1: shapes derived from the GLOBAL batch, not local rows)."""
+    paths = []
+    for i in range(8):
+        p = str(tmp_path / f'{i}.wav')
+        # lengths spread widely so local maxima genuinely differ per host
+        _write_wav(p, seconds=0.3 + 0.15 * i, seed=i)
+        paths.append(p)
+    filelist = tmp_path / 'list.txt'
+    filelist.write_text('\n'.join(
+        f'{p}|word {"more text " * (i % 4)}{i}' for i, p in enumerate(paths)))
+
+    def batches_for(host):
+        ds = TextMelDataset(str(filelist), CMUDICT, shuffle=False)
+        collate = BatchCollate(x_buckets=(16, 24, 32, 48, 64),
+                               y_buckets=(32, 48, 64, 96, 128))
+        loader = DataLoader(ds, batch_size=4, collate=collate, shuffle=True,
+                            seed=3, num_workers=2, shard=(host, 2))
+        return list(loader)
+
+    b0, b1 = batches_for(0), batches_for(1)
+    assert len(b0) == len(b1) == 2
+    for a, b in zip(b0, b1):
+        assert a['x'].shape == b['x'].shape
+        assert a['y'].shape == b['y'].shape
+        # disjoint halves of the global batch
+        assert not np.array_equal(a['x_lengths'], b['x_lengths']) or \
+            not np.array_equal(a['y_lengths'], b['y_lengths'])
+        # provided global shapes still cover every local row
+        assert (a['y_lengths'] <= a['y'].shape[1]).all()
+        assert (b['y_lengths'] <= b['y'].shape[1]).all()
+
+
+def test_collate_rejects_undersized_global_shapes(tmp_path):
+    p = str(tmp_path / 'a.wav')
+    _write_wav(p, seconds=1.0)
+    filelist = tmp_path / 'list.txt'
+    filelist.write_text(f'{p}|hello world')
+    ds = TextMelDataset(str(filelist), CMUDICT, shuffle=False)
+    with pytest.raises(ValueError, match='smaller than local'):
+        BatchCollate()([ds[0]], shapes=(4, 4))
 
 
 def test_transform_txt():
