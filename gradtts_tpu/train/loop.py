@@ -70,6 +70,13 @@ class MetricsLogger:
             if self._tb is not None:
                 self._tb.add_scalar(k, float(v), global_step=step)
 
+    def images(self, images: dict, step: int):
+        """HWC uint8 arrays -> TB images (parity: train.py:92-93,158-166)."""
+        for k, v in images.items():
+            if self._tb is not None:
+                self._tb.add_image(k, v, global_step=step,
+                                   dataformats='HWC')
+
     def text(self, msg: str):
         if self._txt is not None:
             self._txt.write(msg + '\n')
@@ -108,6 +115,7 @@ def train(cfg: GradTTSConfig, n_epochs: Optional[int] = None,
         a, b = jax.random.split(k)
         return np.asarray(a), np.asarray(b)
 
+    dataset = None
     if loader is None:
         dataset = dataset_from_config(cfg, 'train')
         collate = BatchCollate(x_buckets=cfg.data.x_buckets,
@@ -245,6 +253,39 @@ def train(cfg: GradTTSConfig, n_epochs: Optional[int] = None,
         return _executables[sig](st, sharded, step_key)
 
     metrics_log = MetricsLogger(log_dir, enabled=jax.process_index() == 0)
+
+    # Epoch-end synthesis previews (parity: train.py:88-94 ground-truth
+    # images at step 0; :151-172 enc/dec/alignment TB images + PNGs every
+    # save_every epochs). Single-process only: previews run outside the
+    # mesh program and globally-sharded params aren't addressable from one
+    # process of a multihost run.
+    test_items = None
+    if (synthesis_every_epoch and dataset is not None and not multihost
+            and len(dataset) >= cfg.train.test_size):
+        from gradtts_tpu.utils.plotting import plot_tensor, save_plot
+        test_items = dataset.sample_test_batch(cfg.train.test_size)
+        gt = {}
+        for i, item in enumerate(test_items):
+            gt[f'image_{i}/ground_truth'] = plot_tensor(item['y'].T)
+            if jax.process_index() == 0:
+                save_plot(item['y'].T, os.path.join(log_dir,
+                                                    f'original_{i}.png'))
+        metrics_log.images(gt, 0)
+
+    def log_previews(at_step):
+        from gradtts_tpu.utils.plotting import plot_tensor, save_plot
+        previews = synthesis_preview(cfg, model, state.params, test_items,
+                                     n_timesteps=50)
+        for i, (y_enc, y_dec, attn) in enumerate(previews):
+            metrics_log.images({
+                f'image_{i}/generated_enc': plot_tensor(y_enc.T),
+                f'image_{i}/generated_dec': plot_tensor(y_dec.T),
+                f'image_{i}/alignment': plot_tensor(attn),
+            }, at_step)
+            save_plot(y_enc.T, os.path.join(log_dir, f'generated_enc_{i}.png'))
+            save_plot(y_dec.T, os.path.join(log_dir, f'generated_dec_{i}.png'))
+            save_plot(attn, os.path.join(log_dir, f'alignment_{i}.png'))
+
     step = start_step
     with mesh:
         for epoch in range(n_epochs):
@@ -268,6 +309,8 @@ def train(cfg: GradTTSConfig, n_epochs: Optional[int] = None,
             log.info(msg)
             metrics_log.text(msg)
             if (epoch + 1) % cfg.train.save_every == 0:
+                if test_items is not None:
+                    log_previews(step)
                 save_checkpoint(ckpt_dir, state, step, key)
             if max_steps is not None and step - start_step >= max_steps:
                 break
@@ -284,10 +327,16 @@ def synthesis_preview(cfg: GradTTSConfig, model, params, test_items,
     for item in test_items:
         x = jnp.asarray(item['x'])[None]
         xl = jnp.asarray([x.shape[1]])
+        spk = None
+        if 'spk' in item:
+            s = jnp.asarray(item['spk'])
+            # speaker-id items carry a [1] int id (already batch-shaped);
+            # zero-speaker items carry a [spk_emb_dim] float vector
+            spk = s[None] if s.dtype.kind == 'f' else s
         budget = int(4 * max(32, 2 * x.shape[1]))
         res = synthesize(model, {'params': params['params']}, x, xl,
                          n_timesteps=n_timesteps, y_max_length=budget,
-                         key=key)
+                         key=key, spk=spk)
         L = int(res.y_lengths[0])
         out.append((np.array(res.encoder_outputs[0, :L]),
                     np.array(res.decoder_outputs[0, :L]),
