@@ -28,11 +28,16 @@ def main(argv=None):
     parser.add_argument('--vocoder', default=None)
     parser.add_argument('--vocoder-config', default=None)
     parser.add_argument('--batch-size', type=int, default=8)
+    parser.add_argument('--mesh-data', type=int, default=1,
+                        help='shard each batch over this many devices '
+                             '(-1 = all); batch-size must be divisible')
     parser.add_argument('--temperature', type=float, default=1.5)
     parser.add_argument('--plots', action='store_true',
                         help='save generated/reference mel heatmaps')
     parser.add_argument('--cpu', action='store_true')
     parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--set', nargs='*', default=[],
+                        help='dotted config overrides (must match training)')
     args = parser.parse_args(argv)
 
     import jax
@@ -50,7 +55,8 @@ def main(argv=None):
     from gradtts_tpu.models import GradTTS, synthesize
     from gradtts_tpu.utils.plotting import save_plot
 
-    cfg = get_config(args.preset)
+    from gradtts_tpu.cli import parse_overrides
+    cfg = get_config(args.preset, **parse_overrides(args.set))
     model = GradTTS.from_config(cfg)
     example_init = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32), jnp.array([8]),
@@ -80,6 +86,21 @@ def main(argv=None):
     loader = DataLoader(dataset, args.batch_size, collate, shuffle=True,
                         seed=args.seed)
 
+    # data-parallel synthesis: shard the batch axis over a ('data',) mesh —
+    # XLA partitions the whole compiled program (tested bit-compatible with
+    # single-device in tests/test_train_parallel.py)
+    shard = None
+    if args.mesh_data != 1:
+        from gradtts_tpu.parallel.mesh import (
+            batch_sharding, make_mesh, replicated)
+        mesh = make_mesh(args.mesh_data, 1)
+        n_data = mesh.shape['data']
+        if args.batch_size % n_data:
+            raise SystemExit(f'--batch-size {args.batch_size} not divisible '
+                             f'by data-mesh size {n_data}')
+        params = jax.device_put(params, replicated(mesh))
+        shard = batch_sharding(mesh)
+
     @functools.lru_cache(maxsize=None)
     def synth_fn(y_budget):
         @jax.jit
@@ -99,8 +120,12 @@ def main(argv=None):
         y_budget = max(int(2 * batch['y'].shape[1]), 64)
         y_budget += (-y_budget) % 4
         spk = jnp.asarray(batch['spk']) if 'spk' in batch else None
-        res = synth_fn(y_budget)(params, jnp.asarray(batch['x']),
-                                 jnp.asarray(batch['x_lengths']), sub, spk)
+        bx, bl = jnp.asarray(batch['x']), jnp.asarray(batch['x_lengths'])
+        if shard is not None:
+            bx = jax.device_put(bx, shard(bx))
+            bl = jax.device_put(bl, shard(bl))
+            spk = jax.device_put(spk, shard(spk)) if spk is not None else None
+        res = synth_fn(y_budget)(params, bx, bl, sub, spk)
         out_dir = os.path.join(args.output_dir, str(i))
         os.makedirs(out_dir, exist_ok=True)
         for j in range(res.decoder_outputs.shape[0]):

@@ -108,6 +108,45 @@ def test_grad_clip_norms_reported():
     assert metrics['grad_norm/decoder'] > 0
 
 
+def test_data_parallel_synthesis_matches_single_device():
+    """Batched synthesis sharded over the 'data' axis is bit-compatible
+    with the single-device program (same global ops, partitioned by XLA)."""
+    from gradtts_tpu.models import synthesize
+    from gradtts_tpu.parallel.mesh import batch_sharding
+
+    cfg = get_config('ljspeech', **TINY)
+    model = GradTTS.from_config(cfg)
+    B, TX, BUDGET = 8, 12, 64
+    rng = np.random.default_rng(0)
+    x = np.asarray(rng.integers(1, cfg.n_vocab, (B, TX)), np.int32)
+    xl = np.full((B,), TX, np.int32)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(xl),
+        jnp.zeros((B, 8, cfg.data.n_feats)), np.full((B,), 8, np.int32),
+        None)
+
+    def fn(params, x, xl, key):
+        res = synthesize(model, params, x, xl, n_timesteps=4,
+                         y_max_length=BUDGET, key=key)
+        return res.decoder_outputs, res.y_lengths
+
+    key = jax.random.PRNGKey(3)
+    dec1, len1 = jax.jit(fn)(params, x, xl, key)
+
+    mesh = make_mesh(data=8, model=1)
+    with mesh:
+        shard = batch_sharding(mesh)
+        xs = jax.device_put(x, shard(x))
+        xls = jax.device_put(xl, shard(xl))
+        ps = jax.device_put(params, replicated(mesh))
+        dec8, len8 = jax.jit(fn)(ps, xs, xls, key)
+
+    np.testing.assert_array_equal(np.asarray(len1), np.asarray(len8))
+    # partitioned reductions reassociate float adds; tolerance covers that
+    np.testing.assert_allclose(np.asarray(dec1), np.asarray(dec8),
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
