@@ -82,6 +82,9 @@ class TrainConfig:
     mesh_model: int = 1
     grad_clip_norm: float = 1.0  # applied per submodule (encoder / decoder)
     use_bf16_compute: bool = True
+    # rematerialize the U-Net in the backward pass (jax.checkpoint): trades
+    # ~1/3 more estimator FLOPs for a large activation-memory cut
+    remat_estimator: bool = False
 
 
 @dataclass(frozen=True)

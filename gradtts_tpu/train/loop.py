@@ -211,7 +211,8 @@ def train(cfg: GradTTSConfig, n_epochs: Optional[int] = None,
         log.info('resumed from step %d', start_step)
 
     step_fn = make_train_step(model, optimizer, out_size=cfg.out_size,
-                              grad_clip_norm=cfg.train.grad_clip_norm)
+                              grad_clip_norm=cfg.train.grad_clip_norm,
+                              remat=cfg.train.remat_estimator)
     # Pin the output state to the SAME canonical shardings as the input
     # state: without this GSPMD propagates its own (e.g. TP-sharded biases)
     # onto the updated params, which forces a second silent compile on step

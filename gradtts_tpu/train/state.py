@@ -52,11 +52,12 @@ def init_state(params, optimizer) -> TrainState:
 
 
 def make_train_step(model, optimizer, out_size: Optional[int],
-                    grad_clip_norm: float = 1.0):
+                    grad_clip_norm: float = 1.0, remat: bool = False):
     """Returns train_step(state, batch, key) -> (state, metrics dict).
 
     jit-able and shardable: under a mesh, batch arrays arrive sharded over
-    'data' and XLA inserts the gradient psum automatically.
+    'data' and XLA inserts the gradient psum automatically. ``remat``
+    rematerializes the U-Net in the backward pass (see compute_loss).
     """
     from gradtts_tpu.models.tts import compute_loss
 
@@ -64,7 +65,7 @@ def make_train_step(model, optimizer, out_size: Optional[int],
         res = compute_loss(
             model, params, key, batch['x'], batch['x_lengths'], batch['y'],
             batch['y_lengths'], spk=batch.get('spk'), out_size=out_size,
-            train=True, dropout_key=dropout_key)
+            train=True, dropout_key=dropout_key, remat=remat)
         total = res.dur_loss + res.prior_loss + res.diff_loss
         return total, res
 

@@ -108,6 +108,28 @@ def test_grad_clip_norms_reported():
     assert metrics['grad_norm/decoder'] > 0
 
 
+def test_remat_step_matches_plain():
+    """remat=True (jax.checkpoint around the U-Net) must change memory, not
+    math: one train step yields the same losses and parameters."""
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    cfg, model, opt, state0, batch = _setup(mesh)
+    results = []
+    for remat in (False, True):
+        state = jax.tree_util.tree_map(jnp.copy, state0)
+        step_fn = make_train_step(model, opt, out_size=16,
+                                  grad_clip_norm=1.0, remat=remat)
+        with mesh:
+            state, metrics = jax.jit(step_fn)(
+                state, shard_batch(mesh, batch), jax.random.PRNGKey(7))
+        results.append((jax.device_get(state.params), metrics))
+    (p0, m0), (p1, m1) = results
+    assert float(m0['loss/total']) == pytest.approx(float(m1['loss/total']),
+                                                    rel=1e-6)
+    worst = max(float(np.max(np.abs(a - b))) for a, b in zip(
+        jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)))
+    assert worst < 1e-6
+
+
 def test_data_parallel_synthesis_matches_single_device():
     """Batched synthesis sharded over the 'data' axis is bit-compatible
     with the single-device program (same global ops, partitioned by XLA)."""
