@@ -32,7 +32,10 @@ import jax.numpy as jnp
 
 A100_TORCH_EST_AUDIO_SEC_PER_SEC = 40.0
 
-B = 16          # batch of utterances
+B = 8           # batch of utterances — measured optimum on v5e: the batch
+                # dim tiles onto 8 sublanes, so B=8 wastes none; B=16 costs
+                # 2.09x the time of B=8 (575 vs 602 audio-s/s), and
+                # non-multiples of 8 (B=6, B=12) are far worse
 TX = 128        # text bucket
 Y_BUDGET = 768  # mel-frame bucket (~8.9 s audio at 22.05 kHz / hop 256)
 N_STEPS = 10

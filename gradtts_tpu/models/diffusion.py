@@ -165,17 +165,36 @@ class _ParamHolder(nn.Module):
                           self.shape)
 
 
+class _ConvParamHolder(nn.Module):
+    """kernel + bias params with nn.Conv's tree/initializers, computed by
+    the caller (shared between the jnp and Pallas attention paths)."""
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return (self.param('kernel', nn.initializers.lecun_normal(),
+                           self.shape),
+                self.param('bias', nn.initializers.zeros, (self.shape[-1],)))
+
+
 class LinearAttention(nn.Module):
     """Softmax-kernel linear attention over all (F, T) positions
     (diffusion.py:82-100). QKV/output projections run in ``dtype``; the
-    position softmax and both contractions accumulate in float32."""
+    position softmax and both contractions accumulate in float32.
+
+    ``rezero_g`` (the caller's ReZero gain) folds the ``* g + x`` residual
+    into this op. ``fused=True`` additionally dispatches to the Pallas
+    flash-style kernel (ops/pallas/linear_attention.py): one streaming
+    stats pass + one apply pass instead of materializing q/k/exp(k) in HBM.
+    The fused path is reverse-mode-only (custom_vjp) — callers that need
+    ``jax.jvp`` (the likelihood engine) must keep ``fused=False``."""
     dim: int
     heads: int = 4
     dim_head: int = 32
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, rezero_g=None, fused: bool = False):
         b, f, t, _ = x.shape
         hidden = self.heads * self.dim_head
         # Channel order is (qkv, heads, dim_head) — matches the reference's
@@ -187,6 +206,18 @@ class LinearAttention(nn.Module):
         # (measured ~1 ms/fwd saved at the top U-Net level on v5e).
         w_qkv = _ParamHolder((1, 1, x.shape[-1], hidden * 3),
                              name='to_qkv')()
+        # to_out params declared directly (same tree as an nn.Conv) so both
+        # the jnp and the fused kernel path share them
+        w_out, b_out = _ConvParamHolder((1, 1, hidden, self.dim),
+                                        name='to_out')()
+        if fused and rezero_g is not None:
+            from gradtts_tpu.ops.pallas.linear_attention import (
+                fused_linear_attention_rezero)
+            wf = w_qkv[0, 0]
+            return fused_linear_attention_rezero(
+                x, wf[:, :hidden], wf[:, hidden:2 * hidden],
+                wf[:, 2 * hidden:], w_out[0, 0], b_out, rezero_g,
+                self.dim_head)
         w = w_qkv[0, 0].astype(self.dtype)
         q = jnp.einsum('bftc,cd->bftd', x, w[:, :hidden])
         k = jnp.einsum('bftc,cd->bftd', x, w[:, hidden:2 * hidden])
@@ -213,21 +244,25 @@ class LinearAttention(nn.Module):
         out = jnp.einsum('bde,bftd->bfte', context.astype(self.dtype), q,
                          preferred_element_type=jnp.float32)
         out = out.astype(self.dtype)
-        return nn.Conv(self.dim, (1, 1), dtype=self.dtype,
-                       name='to_out')(out)
+        y = jnp.einsum('bfte,ec->bftc', out, w_out[0, 0].astype(self.dtype))
+        y = y + b_out.astype(self.dtype)
+        if rezero_g is not None:
+            return y * rezero_g.astype(x.dtype) + x
+        return y
 
 
 class Rezero(nn.Module):
     """Residual linear-attention block scaled by a zero-init'd scalar
-    (Residual(Rezero(LinearAttention)) in the reference)."""
+    (Residual(Rezero(LinearAttention)) in the reference). The gain and the
+    residual are folded into the attention op (jnp or fused kernel)."""
     dim: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fused: bool = False):
         g = self.param('g', nn.initializers.zeros, (1,))
         return LinearAttention(self.dim, dtype=self.dtype,
-                               name='fn')(x) * g.astype(x.dtype) + x
+                               name='fn')(x, rezero_g=g, fused=fused)
 
 
 class GradLogPEstimator2d(nn.Module):
@@ -247,7 +282,8 @@ class GradLogPEstimator2d(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask, mu, t, spk=None):
+    def __call__(self, x, mask, mu, t, spk=None,
+                 fused_attention: bool = False):
         use_spk_channel = self.n_spks > 1
         has_spk_mlp = self.n_spks > 1 or self.n_spks == -1
 
@@ -281,7 +317,8 @@ class GradLogPEstimator2d(nn.Module):
                             name=f'downs_{ind}_res1')(h, mask_down, t_emb)
             h = ResnetBlock(dim_out, dim_out, self.groups, self.dtype,
                             name=f'downs_{ind}_res2')(h, mask_down, t_emb)
-            h = Rezero(dim_out, self.dtype, name=f'downs_{ind}_attn')(h)
+            h = Rezero(dim_out, self.dtype,
+                       name=f'downs_{ind}_attn')(h, fused=fused_attention)
             hiddens.append(h)
             if not is_last:
                 h = Downsample(dim_out, self.dtype,
@@ -295,7 +332,8 @@ class GradLogPEstimator2d(nn.Module):
         mid_dim = dims[-1]
         h = ResnetBlock(mid_dim, mid_dim, self.groups, self.dtype,
                         name='mid_block1')(h, mask_mid, t_emb)
-        h = Rezero(mid_dim, self.dtype, name='mid_attn')(h)
+        h = Rezero(mid_dim, self.dtype,
+                   name='mid_attn')(h, fused=fused_attention)
         h = ResnetBlock(mid_dim, mid_dim, self.groups, self.dtype,
                         name='mid_block2')(h, mask_mid, t_emb)
 
@@ -306,7 +344,8 @@ class GradLogPEstimator2d(nn.Module):
                             name=f'ups_{ind}_res1')(h, mask_up, t_emb)
             h = ResnetBlock(dim_in, dim_in, self.groups, self.dtype,
                             name=f'ups_{ind}_res2')(h, mask_up, t_emb)
-            h = Rezero(dim_in, self.dtype, name=f'ups_{ind}_attn')(h)
+            h = Rezero(dim_in, self.dtype,
+                       name=f'ups_{ind}_attn')(h, fused=fused_attention)
             h = Upsample(dim_in, self.dtype, name=f'ups_{ind}_up')(h * mask_up)
 
         h = Block(self.dim, self.groups, self.dtype,

@@ -117,9 +117,11 @@ class GradTTS(nn.Module):
         mu_x, logw, x_mask = self.encoder(x, x_lengths, spk_vec, train=train)
         return mu_x, logw, x_mask, spk_vec
 
-    def estimate(self, x_t, mask, mu, t, spk=None, spk_is_embedded=False):
+    def estimate(self, x_t, mask, mu, t, spk=None, spk_is_embedded=False,
+                 fused_attention: bool = False):
         spk_vec = spk if spk_is_embedded else self.embed_speaker(spk)
-        return self.estimator(x_t, mask, mu, t, spk_vec)
+        return self.estimator(x_t, mask, mu, t, spk_vec,
+                              fused_attention=fused_attention)
 
     def __call__(self, x, x_lengths, y, y_lengths, spk=None):
         """Init-only path: touches encoder + estimator params."""
@@ -141,8 +143,8 @@ class SynthesisResult(NamedTuple):
 
 def synthesize(model: GradTTS, params, x, x_lengths, n_timesteps,
                y_max_length: int, key, temperature=1.0, stoc=False,
-               spk=None, length_scale=1.0,
-               sampler: str = 'euler') -> SynthesisResult:
+               spk=None, length_scale=1.0, sampler: str = 'euler',
+               fused_attention: Optional[bool] = None) -> SynthesisResult:
     """Text -> mel synthesis (parity: tts.py:54-108).
 
     ``y_max_length`` is a static padded frame budget (a bucket boundary,
@@ -153,7 +155,15 @@ def synthesize(model: GradTTS, params, x, x_lengths, n_timesteps,
     ``sampler``: 'euler' (reference parity; 'stoc' selects its SDE branch)
     or 'dpm' — the multistep exponential integrator
     (reverse_diffusion_dpm), ~2.5x fewer steps for equal ODE error.
+
+    ``fused_attention``: use the Pallas flash-style attention kernel inside
+    the U-Net (ops/pallas/linear_attention.py). Default (None) enables it
+    on TPU backends; synthesis is inference-only so the kernel's
+    reverse-mode-only custom_vjp is irrelevant here.
     """
+    if fused_attention is None:
+        from gradtts_tpu.ops.pallas.linear_attention import _on_tpu
+        fused_attention = _on_tpu()
     mu_x, logw, x_mask, spk_vec = model.apply(
         params, x, x_lengths, spk, method=GradTTS.encode)
 
@@ -174,7 +184,9 @@ def synthesize(model: GradTTS, params, x, x_lengths, n_timesteps,
 
     def estimator_fn(x_t, mask2d, mu, t, s):
         return model.apply(params, x_t, mask2d, mu, t, s,
-                           spk_is_embedded=True, method=GradTTS.estimate)
+                           spk_is_embedded=True,
+                           fused_attention=fused_attention,
+                           method=GradTTS.estimate)
 
     if sampler == 'dpm':
         dec = reverse_diffusion_dpm(estimator_fn, z, y_mask, mu_y,

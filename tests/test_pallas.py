@@ -64,3 +64,75 @@ def test_groupnorm_mish_under_jit_and_vmap_free():
     out = jax.jit(lambda x: groupnorm_mish(x, mask, gamma, beta, 8, 1e-5,
                                            False))(x)
     assert out.shape == x.shape
+
+
+# ---------------- fused linear attention (+ rezero) ----------------------
+
+from gradtts_tpu.ops.pallas import linear_attention as la
+
+
+def _la_inputs(seed, B=2, F=8, T=24, C=32, H=64, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((B, F, T, C)), dtype)
+    w_q = jnp.asarray(rng.standard_normal((C, H)) * 0.1, jnp.float32)
+    w_k = jnp.asarray(rng.standard_normal((C, H)) * 0.1, jnp.float32)
+    w_v = jnp.asarray(rng.standard_normal((C, H)) * 0.1, jnp.float32)
+    w_out = jnp.asarray(rng.standard_normal((H, C)) * 0.1, jnp.float32)
+    b_out = jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32)
+    g = jnp.asarray([0.7], jnp.float32)
+    return x, w_q, w_k, w_v, w_out, b_out, g
+
+
+def test_fused_linear_attention_interpret_parity():
+    args = _la_inputs(0)
+    ref = la._reference(*args, dim_head=16)
+    out = la.fused_linear_attention_rezero(*args, 16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_linear_attention_tail_masking(monkeypatch):
+    # Force multi-tile streaming with a ragged tail so the online-max
+    # rescale and the tail mask are both exercised.
+    monkeypatch.setattr(la, '_TILE_LIMIT_BYTES', 8 * 32 * 4 * 8)  # 8 rows/t
+    args = _la_inputs(1, B=1, F=5, T=9, C=32, H=32)
+    ref = la._reference(*args, dim_head=8)
+    out = la.fused_linear_attention_rezero(*args, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_linear_attention_grad_matches_reference():
+    args = _la_inputs(2, B=1, F=4, T=12, C=16, H=32)
+
+    def loss_fused(*a):
+        return jnp.sum(la.fused_linear_attention_rezero(*a, 8) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(la._reference(*a, dim_head=8) ** 2)
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 4, 6))(*args)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 4, 6))(*args)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_estimator_fused_attention_matches_jnp():
+    """Full U-Net forward: fused_attention=True vs False agree (f32)."""
+    from gradtts_tpu.models.diffusion import GradLogPEstimator2d
+    est = GradLogPEstimator2d(dim=16, n_feats=16)
+    rng = np.random.default_rng(3)
+    B, T = 2, 32
+    xt = jnp.asarray(rng.standard_normal((B, T, 16)), jnp.float32)
+    mu = jnp.asarray(rng.standard_normal((B, T, 16)), jnp.float32)
+    mask = jnp.ones((B, T), jnp.float32)
+    t = jnp.full((B,), 0.4, jnp.float32)
+    params = est.init(jax.random.PRNGKey(0), xt, mask, mu, t, None)
+    # rezero gains are zero-init; randomize so attention contributes
+    params = jax.tree_util.tree_map(
+        lambda p: jnp.full_like(p, 0.5) if p.shape == (1,) else p, params)
+    y0 = est.apply(params, xt, mask, mu, t, None, fused_attention=False)
+    y1 = est.apply(params, xt, mask, mu, t, None, fused_attention=True)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-4, atol=1e-4)
