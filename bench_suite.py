@@ -72,7 +72,9 @@ def _init_tts(cfg, B, TX, dtype):
     return model, params, x, x_lengths, spk
 
 
-def bench_mel_synthesis(preset, metric, n_steps=10, B=16, TX=128, Y=768):
+def bench_mel_synthesis(preset, metric, n_steps=10, B=8, TX=128, Y=768):
+    # B=8 is the measured v5e optimum (batch dim tiles onto 8 sublanes;
+    # B=16 costs 2.09x the B=8 time) — see bench.py / PERFORMANCE.md
     from gradtts_tpu import get_config
     from gradtts_tpu.models import synthesize
 

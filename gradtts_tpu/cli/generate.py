@@ -32,6 +32,10 @@ def main(argv=None):
                         help='shard each batch over this many devices '
                              '(-1 = all); batch-size must be divisible')
     parser.add_argument('--temperature', type=float, default=1.5)
+    parser.add_argument('--sampler', default='euler',
+                        choices=['euler', 'dpm'],
+                        help='dpm = multistep exponential integrator, '
+                             '~2.5x fewer steps for equal ODE error')
     parser.add_argument('--plots', action='store_true',
                         help='save generated/reference mel heatmaps')
     parser.add_argument('--cpu', action='store_true')
@@ -108,7 +112,8 @@ def main(argv=None):
             return synthesize(model, params, x, x_lengths,
                               n_timesteps=args.timesteps,
                               y_max_length=y_budget, key=key,
-                              temperature=args.temperature, spk=spk)
+                              temperature=args.temperature, spk=spk,
+                              sampler=args.sampler)
         return fn
 
     from scipy.io import wavfile
