@@ -100,3 +100,17 @@ def test_compute_loss_grads_flow(pair1):
     g2 = jax.grad(no_dur)(params)['params']
     assert gnorm(g2['encoder']['proj_w']) == 0  # only dur_loss reaches it
     assert gnorm(g2['encoder']['emb']) > 0
+
+
+def test_synthesize_fused_attention_matches_jnp(pair1):
+    """Full synthesize() with the Pallas fused-attention kernel (interpret
+    mode on CPU) agrees with the jnp attention path."""
+    _, jmodel, params, (x, x_lengths, *_rest) = pair1
+
+    def run(fused):
+        res = synthesize(jmodel, params, jnp.array(x), jnp.array(x_lengths),
+                         n_timesteps=3, y_max_length=96,
+                         key=jax.random.PRNGKey(2), fused_attention=fused)
+        return np.array(res.decoder_outputs)
+
+    np.testing.assert_allclose(run(True), run(False), rtol=1e-4, atol=1e-4)
