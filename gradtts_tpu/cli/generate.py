@@ -87,23 +87,36 @@ def main(argv=None):
     dataset = dataset_from_config(cfg, args.split)
     collate = BatchCollate(x_buckets=cfg.data.x_buckets,
                            y_buckets=cfg.data.y_buckets)
+    # drop_last=False: the reference synthesizes EVERY test utterance
+    # (generate.py:66-99); the tail batch is padded back up to batch_size
+    # below (repeated rows, not emitted) so the compiled program keeps one
+    # static batch shape — on TPU a non-multiple-of-8 batch is
+    # catastrophically slower (see PERFORMANCE.md), so padding beats a
+    # second small-batch compile on both counts.
     loader = DataLoader(dataset, args.batch_size, collate, shuffle=True,
-                        seed=args.seed)
+                        seed=args.seed, drop_last=False)
 
     # data-parallel synthesis: shard the batch axis over a ('data',) mesh —
-    # XLA partitions the whole compiled program (tested bit-compatible with
-    # single-device in tests/test_train_parallel.py)
+    # XLA partitions the whole compiled program (single-device agreement is
+    # covered by tests/test_train_parallel.py; sharded generate end-to-end
+    # by tests/test_generate_cli.py). The Pallas fused-attention kernel has
+    # no SPMD partitioning rule, so sharded runs pin fused_attention=False
+    # (single-device runs keep the TPU auto-default).
     shard = None
+    fused_attention = None
     if args.mesh_data != 1:
         from gradtts_tpu.parallel.mesh import (
             batch_sharding, make_mesh, replicated)
-        mesh = make_mesh(args.mesh_data, 1)
+        devices = None if args.mesh_data == -1 \
+            else jax.devices()[:args.mesh_data]
+        mesh = make_mesh(args.mesh_data, 1, devices=devices)
         n_data = mesh.shape['data']
         if args.batch_size % n_data:
             raise SystemExit(f'--batch-size {args.batch_size} not divisible '
                              f'by data-mesh size {n_data}')
         params = jax.device_put(params, replicated(mesh))
         shard = batch_sharding(mesh)
+        fused_attention = False
 
     @functools.lru_cache(maxsize=None)
     def synth_fn(y_budget):
@@ -113,7 +126,8 @@ def main(argv=None):
                               n_timesteps=args.timesteps,
                               y_max_length=y_budget, key=key,
                               temperature=args.temperature, spk=spk,
-                              sampler=args.sampler)
+                              sampler=args.sampler,
+                              fused_attention=fused_attention)
         return fn
 
     from scipy.io import wavfile
@@ -122,6 +136,12 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
     for i, batch in enumerate(tqdm(loader)):
         key, sub = jax.random.split(key)
+        n_real = batch['x'].shape[0]
+        if n_real < args.batch_size:  # tail batch: pad rows, emit n_real
+            pad = args.batch_size - n_real
+            batch = {k: np.concatenate(
+                [v, np.repeat(v[-1:], pad, axis=0)], axis=0)
+                for k, v in batch.items()}
         y_budget = max(int(2 * batch['y'].shape[1]), 64)
         y_budget += (-y_budget) % 4
         spk = jnp.asarray(batch['spk']) if 'spk' in batch else None
@@ -133,7 +153,7 @@ def main(argv=None):
         res = synth_fn(y_budget)(params, bx, bl, sub, spk)
         out_dir = os.path.join(args.output_dir, str(i))
         os.makedirs(out_dir, exist_ok=True)
-        for j in range(res.decoder_outputs.shape[0]):
+        for j in range(n_real):
             length = int(res.y_lengths[j])
             mel = np.asarray(res.decoder_outputs[j, :length])    # [T, F]
             if vocoder is not None:

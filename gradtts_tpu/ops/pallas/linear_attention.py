@@ -47,6 +47,8 @@ _TILE_LIMIT_BYTES = 512 * 1024
 
 _NEG = -1e30
 
+_warned_fallback = False
+
 
 def _stats_kernel(x_ref, wk_ref, wv_ref, ctx_ref, den_ref,
                   m_ref, acc_ref, d_ref, *, n_total: int, n_tile: int):
@@ -211,7 +213,21 @@ def fused_linear_attention_rezero(x, w_q, w_k, w_v, w_out, b_out, g,
     try:
         return _forward(x, w_q, w_k, w_v, w_out, b_out, g, dim_head,
                         interpret=not _on_tpu())
-    except Exception:
+    except (NotImplementedError, ValueError) as e:
+        # Only unsupported-backend trace-time failures fall back (Pallas
+        # raises NotImplementedError/ValueError when the platform or a
+        # BlockSpec isn't lowerable). Genuine kernel bugs — including
+        # compile-time Mosaic failures, which surface later and never hit
+        # this handler — propagate. The fallback warns once so silent
+        # performance regressions are visible.
+        global _warned_fallback
+        if not _warned_fallback:
+            _warned_fallback = True
+            import warnings
+            warnings.warn(
+                'fused_linear_attention_rezero: Pallas path unavailable '
+                f'({type(e).__name__}: {e}); using the jnp reference path',
+                RuntimeWarning)
         return _reference(x, w_q, w_k, w_v, w_out, b_out, g, dim_head)
 
 
