@@ -4,8 +4,9 @@ checkpoints, and epoch-end synthesis previews.
 Behavioral parity target: /root/reference/train.py:59-175 (same scalar
 names, same loss accounting, test-batch previews, per-epoch checkpoints),
 re-designed for TPU: a single compiled train step runs under a
-('data','model') mesh with the batch sharded over 'data'; metrics are host
-scalars once per step; checkpoints carry optimizer state.
+('data','model') mesh with the batch sharded over 'data'; metrics stay on
+device and are fetched in batches (no per-step host sync); checkpoints
+carry optimizer state.
 """
 
 import hashlib
@@ -257,25 +258,48 @@ def train(cfg: GradTTSConfig, n_epochs: Optional[int] = None,
 
     # Epoch-end synthesis previews (parity: train.py:88-94 ground-truth
     # images at step 0; :151-172 enc/dec/alignment TB images + PNGs every
-    # save_every epochs). Single-process only: previews run outside the
-    # mesh program and globally-sharded params aren't addressable from one
-    # process of a multihost run.
+    # save_every epochs). Previews run on FULL host-gathered params so they
+    # work under tensor parallelism and multihost (sample_test_batch is
+    # seed-deterministic, so every process picks the same items and the
+    # gather collective lines up; only process 0 synthesizes/writes).
     test_items = None
-    if (synthesis_every_epoch and dataset is not None and not multihost
+    if (synthesis_every_epoch and dataset is not None
             and len(dataset) >= cfg.train.test_size):
         from gradtts_tpu.utils.plotting import plot_tensor, save_plot
         test_items = dataset.sample_test_batch(cfg.train.test_size)
-        gt = {}
-        for i, item in enumerate(test_items):
-            gt[f'image_{i}/ground_truth'] = plot_tensor(item['y'].T)
-            if jax.process_index() == 0:
+        if jax.process_index() == 0:
+            gt = {}
+            for i, item in enumerate(test_items):
+                gt[f'image_{i}/ground_truth'] = plot_tensor(item['y'].T)
                 save_plot(item['y'].T, os.path.join(log_dir,
                                                     f'original_{i}.png'))
-        metrics_log.images(gt, 0)
+            metrics_log.images(gt, 0)
+
+    # All-gather params to host numpy: one jitted identity with replicated
+    # out_shardings (XLA inserts the all-gather over ICI); every process
+    # then holds a complete copy. Compile -> barrier -> execute, same
+    # discipline as the train step (see multihost_barrier docstring).
+    _gather_exec = []
+
+    def gather_params_to_host(params):
+        gather = jax.jit(lambda p: p, out_shardings=replicated(mesh))
+        if multihost:
+            if not _gather_exec:
+                _gather_exec.append(gather.lower(params).compile())
+                multihost_barrier(f'{bar}/gather_compiled')
+            full = _gather_exec[0](params)
+        else:
+            full = gather(params)
+        return jax.tree_util.tree_map(
+            lambda x: np.asarray(jax.device_get(x.addressable_data(0))),
+            full)
 
     def log_previews(at_step):
         from gradtts_tpu.utils.plotting import plot_tensor, save_plot
-        previews = synthesis_preview(cfg, model, state.params, test_items,
+        host_params = gather_params_to_host(state.params)
+        if jax.process_index() != 0:
+            return
+        previews = synthesis_preview(cfg, model, host_params, test_items,
                                      n_timesteps=50)
         for i, (y_enc, y_dec, attn) in enumerate(previews):
             metrics_log.images({
@@ -287,21 +311,41 @@ def train(cfg: GradTTSConfig, n_epochs: Optional[int] = None,
             save_plot(y_dec.T, os.path.join(log_dir, f'generated_dec_{i}.png'))
             save_plot(attn, os.path.join(log_dir, f'alignment_{i}.png'))
 
+    # Metrics stay ON DEVICE during the epoch (the reference fetches 5
+    # scalars per step, train.py:121-130, forcing a device round trip that
+    # serializes the pipeline). Buffered device scalars are fetched in one
+    # device_get every `flush_every` steps / at epoch end, then written to
+    # TB retroactively with their true global_step — same scalar names and
+    # granularity, no per-step host sync.
+    flush_every = 50
     step = start_step
     with mesh:
         for epoch in range(n_epochs):
             epoch_metrics = []
+            pending = []  # [(step, {name: device scalar})]
+
+            def flush():
+                if not pending:
+                    return
+                fetched = jax.device_get([m for _, m in pending])
+                for (at_step, _), vals in zip(pending, fetched):
+                    host = {k: float(v) for k, v in vals.items()}
+                    epoch_metrics.append(host)
+                    metrics_log.scalars(host, at_step)
+                pending.clear()
+
             t0 = time.time()
             for batch in loader:
                 key, step_key = split_key(key)
                 sharded = shard_batch(mesh, batch, per_host=multihost)
                 state, metrics = run_step(state, sharded, step_key)
                 step += 1
-                epoch_metrics.append(
-                    {k: float(v) for k, v in metrics.items()})
-                metrics_log.scalars(epoch_metrics[-1], step)
+                pending.append((step, metrics))
+                if len(pending) >= flush_every:
+                    flush()
                 if max_steps is not None and step - start_step >= max_steps:
                     break
+            flush()
             means = {k: float(np.mean([m[k] for m in epoch_metrics]))
                      for k in epoch_metrics[0]} if epoch_metrics else {}
             msg = (f'epoch {epoch}: ' + ', '.join(

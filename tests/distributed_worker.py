@@ -41,32 +41,58 @@ def main():
     from gradtts_tpu.parallel.mesh import make_mesh
     from gradtts_tpu.train.loop import train
 
+    # real tiny dataset, one PRIVATE copy per process (identical bytes and
+    # ordering, so cross-host shapes/values agree without file races):
+    # exercises the real per-host input pipeline (each process loads only
+    # its 4-row block of the global batch-8) and the epoch-end previews
+    # synthesized from all-gathered params.
+    from scipy.io import wavfile
+    data_dir = os.path.join(log_dir, f'data_{pid}')
+    os.makedirs(data_dir, exist_ok=True)
+    n_items = 8
+    lines = []
+    for i in range(n_items):
+        t = np.arange(int(22050 * 0.35)) / 22050.0
+        g = np.random.default_rng(i)  # seeded by ITEM, same on both hosts
+        wav = (0.3 * np.sin(2 * np.pi * (180 + 20 * i) * t)
+               + 0.05 * g.standard_normal(t.shape)).astype(np.float32)
+        path = os.path.join(data_dir, f'{i}.wav')
+        wavfile.write(path, 22050, (wav * 32767).astype(np.int16))
+        lines.append(f'{path}|hello world number {i}')
+    filelist = os.path.join(data_dir, 'list.txt')
+    with open(filelist, 'w') as f:
+        f.write('\n'.join(lines))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cfg = get_config('ljspeech', **{
+        'data.train_filelist_path': filelist,
+        'data.cmudict_path': os.path.join(repo, 'resources',
+                                          'cmu_dictionary'),
+        'data.x_buckets': (64,), 'data.y_buckets': (64,),
         'encoder.n_enc_channels': 16, 'encoder.filter_channels': 32,
         'encoder.filter_channels_dp': 16, 'encoder.n_enc_layers': 1,
-        'data.n_feats': 16, 'decoder.dec_dim': 16,
+        'decoder.dec_dim': 16,
+        'train.batch_size': 8, 'train.test_size': 1,
         'train.save_every': 1, 'train.use_bf16_compute': False,
     })
     mesh = make_mesh(data=4, model=2)
 
-    # per-host loader: global batch 8, each process contributes 4 rows.
-    # Rows differ per process (disjoint data), shapes agree.
-    B_local, TX, TY = 4, 12, 32
-    rng = np.random.default_rng(100 + pid)
-    batches = []
-    for _ in range(2):
-        batches.append({
-            'x': rng.integers(1, cfg.n_vocab, (B_local, TX)).astype(np.int32),
-            'x_lengths': np.full((B_local,), TX, np.int32),
-            'y': rng.standard_normal((B_local, TY, cfg.data.n_feats))
-                 .astype(np.float32),
-            'y_lengths': np.full((B_local,), TY, np.int32),
-        })
-
-    state = train(cfg, n_epochs=1, max_steps=2, log_dir=log_dir, mesh=mesh,
-                  resume=False, loader=batches)
+    # 8 items / global batch 8 -> 1 step per epoch; 2 epochs = 2 steps,
+    # with previews + checkpoint at each epoch end (save_every=1)
+    state = train(cfg, n_epochs=2, log_dir=log_dir, mesh=mesh, resume=False)
     step0 = int(state.step)
     assert step0 == 2, step0
+
+    # synthetic batch for the cross-process loss-agreement check below
+    B_local, TX, TY = 4, 12, 32
+    rng = np.random.default_rng(100 + pid)
+    batches = [{
+        'x': rng.integers(1, cfg.n_vocab, (B_local, TX)).astype(np.int32),
+        'x_lengths': np.full((B_local,), TX, np.int32),
+        'y': rng.standard_normal((B_local, TY, cfg.data.n_feats))
+             .astype(np.float32),
+        'y_lengths': np.full((B_local,), TY, np.int32),
+    }]
 
     # the loss of one more deterministic step must agree across processes
     # (it is a psum over the global batch)

@@ -63,3 +63,10 @@ def test_two_process_training(tmp_path):
     assert losses[0] == pytest.approx(losses[1], rel=1e-6)
     # both resumed from step 2 and took one more step
     assert resumed == [3, 3]
+
+    # epoch-end synthesis previews under multihost: process 0 synthesized
+    # from all-gathered params and wrote the reference's visual surfaces
+    # (parity: /root/reference/train.py:88-94, 151-172)
+    for stem in ('original', 'generated_enc', 'generated_dec', 'alignment'):
+        path = os.path.join(str(tmp_path), f'{stem}_0.png')
+        assert os.path.exists(path), path
