@@ -124,6 +124,71 @@ def test_reverse_diffusion_parity(pair1):
                                t_dec.numpy(), atol=2e-4, rtol=1e-3)
 
 
+def test_production_dims_converter_parity():
+    """Converter parity at the REAL architecture a pretrained grad-tts.pt
+    would arrive in (/root/reference/params.py:12-37 — 192-ch/768-ff/2H/6L
+    window-4 encoder, dec_dim 64, n_feats 80, pe_scale 1000). The tiny-dims
+    tests above don't exercise the converter at these shapes (e.g. the
+    U-Net's dim_mults channel widths, 6-layer encoder stacking); this is
+    the strongest stand-in for real-checkpoint mel parity available with
+    the reference's .pt blobs stripped from the repo."""
+    hp = dict(n_vocab=149, n_enc_channels=192, filter_channels=768,
+              filter_channels_dp=256, n_heads=2, n_enc_layers=6,
+              enc_kernel=3, enc_dropout=0.1, window_size=4, n_feats=80,
+              dec_dim=64, beta_min=0.05, beta_max=20.0, pe_scale=1000.0)
+    ref = load_reference_model()
+    torch.manual_seed(7)
+    tmodel = ref.tts.GradTTS(
+        hp['n_vocab'], 1, None, hp['n_enc_channels'], hp['filter_channels'],
+        hp['filter_channels_dp'], hp['n_heads'], hp['n_enc_layers'],
+        hp['enc_kernel'], hp['enc_dropout'], hp['window_size'],
+        hp['n_feats'], hp['dec_dim'], hp['beta_min'], hp['beta_max'],
+        hp['pe_scale']).eval()
+    jmodel = GradTTS(n_spks=1, spk_emb_dim=64, **hp)
+
+    b, tx, ty = 1, 24, 64
+    rng = np.random.default_rng(7)
+    x = rng.integers(1, hp['n_vocab'], size=(b, tx))
+    xl = np.array([tx])
+    y = rng.standard_normal((b, ty, hp['n_feats'])).astype(np.float32)
+    yl = np.array([ty])
+    params = jmodel.init(jax.random.PRNGKey(0), jnp.array(x), jnp.array(xl),
+                         jnp.array(y), jnp.array(yl), None)
+    params = gradtts_torch_to_flax(tmodel.state_dict(), params)
+
+    # encoder (mel prior + durations)
+    with torch.no_grad():
+        t_mu, t_logw, _ = tmodel.encoder(torch.tensor(x), torch.tensor(xl),
+                                         None)
+    j_mu, j_logw, _, _ = jmodel.apply(params, jnp.array(x), jnp.array(xl),
+                                      None, method=GradTTS.encode)
+    np.testing.assert_allclose(np.array(j_mu).transpose(0, 2, 1),
+                               t_mu.numpy(), atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.array(j_logw).transpose(0, 2, 1),
+                               t_logw.numpy(), atol=5e-5, rtol=1e-4)
+
+    # full reverse sampler, 2 Euler steps
+    z = rng.standard_normal((b, ty, hp['n_feats'])).astype(np.float32)
+    mu = rng.standard_normal((b, ty, hp['n_feats'])).astype(np.float32)
+    mask = np.ones((b, ty), np.float32)
+    with torch.no_grad():
+        t_dec = tmodel.decoder.reverse_diffusion(
+            torch.tensor(z.transpose(0, 2, 1)),
+            torch.tensor(mask)[:, None, :],
+            torch.tensor(mu.transpose(0, 2, 1)), n_timesteps=2, stoc=False,
+            spk=None)
+
+    def estimator_fn(x_t, mask2d, mu_, t, s):
+        return jmodel.apply(params, x_t, mask2d, mu_, t, s,
+                            spk_is_embedded=True, method=GradTTS.estimate)
+
+    j_dec = reverse_diffusion(estimator_fn, jnp.array(z),
+                              jnp.array(mask)[..., None], jnp.array(mu),
+                              2, hp['beta_min'], hp['beta_max'])
+    np.testing.assert_allclose(np.array(j_dec).transpose(0, 2, 1),
+                               t_dec.numpy(), atol=2e-4, rtol=1e-3)
+
+
 def test_multispeaker_estimator_parity():
     hp = dict(HP, n_feats=80)
     ty = 16

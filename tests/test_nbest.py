@@ -244,3 +244,59 @@ def test_score_n_best_sharding(tiny_scored, tmp_path):
     # shards merge into the full matrix
     full = m0 + m1
     assert np.all(full != 0)
+
+
+# --- interop with the reference's REAL score-dump artifacts ----------------
+
+REF_SCORES = '/root/reference/n_best/diffusion_scores'
+
+
+def test_reference_score_dump_interop():
+    """Our compile/rescore pipeline speaks the reference's on-disk score
+    format: [I, N] float64 .npy, row-major, scores[i, n] = hypothesis n of
+    utterance i (parity: /root/reference/n_best/compile_scores.py:8-43).
+    Verified against the REAL dumps the reference ships (read-only)."""
+    import os
+    if not os.path.isdir(REF_SCORES):
+        pytest.skip('reference score dumps unavailable')
+    ref100 = np.load(os.path.join(REF_SCORES, 'e330_euler10_n100.npy'))
+    assert ref100.shape == (507, 100) and ref100.dtype == np.float64
+
+    # the reference's own CSV twin is the row-major flattening of the npy —
+    # pins down the (i, n) orientation with the reference's real artifacts
+    import csv
+    ref10 = np.load(os.path.join(REF_SCORES, 'e330_euler10_n10.npy'))
+    with open(os.path.join(REF_SCORES, 'e330_euler10_n10.csv')) as f:
+        flat = np.array([float(v) for row in csv.reader(f) for v in row])
+    np.testing.assert_allclose(flat, ref10.reshape(-1))
+
+    # our compile_scores produces the same shape/dtype/orientation from
+    # per-(i, n) shards
+    import json
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        for i in range(3):
+            for n in range(4):
+                with open(os.path.join(d, f's_{i}_{n}.json'), 'w') as f:
+                    json.dump({'i': i, 'n': n,
+                               'diffusion_score': float(ref100[i, n])}, f)
+        out_path = os.path.join(d, 'compiled.npy')
+        compile_scores(d, I=3, N=4, out_path=out_path)
+        ours = np.load(out_path)
+    assert ours.shape == (3, 4) and ours.dtype == ref100.dtype
+    np.testing.assert_allclose(ours, ref100[:3, :4])
+
+    # and `rescore` consumes the real dump: a synthetic 507-utterance
+    # n-best list takes the reference matrix via set_diffusion_scores and
+    # exposes exactly those values in the rescoring feature matrix
+    from gradtts_tpu.nbest import SCORE_NAMES, NBestList
+    from gradtts_tpu.nbest.lists import make_synthetic_n_best
+    n = 10
+    entries = [{'target': f'target {i}',
+                'hyps': [f'utt {i} hyp {j}' for j in range(n)]}
+               for i in range(ref100.shape[0])]
+    n_best = NBestList(make_synthetic_n_best(entries))
+    n_best.set_diffusion_scores(ref100[:, :n], n)
+    feats = n_best.feature_matrix(n)
+    col = list(SCORE_NAMES).index('diffusion_score')
+    np.testing.assert_allclose(feats[:, :, col], ref100[:, :n])
