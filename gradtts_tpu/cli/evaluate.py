@@ -28,6 +28,12 @@ def main(argv=None):
     parser.add_argument('--speaker-id', type=int, default=None)
     parser.add_argument('--out-dir', default=None,
                         help='also write wavs + per-utt metrics here')
+    parser.add_argument('--dsp-backend', default='auto',
+                        choices=['auto', 'yin', 'world'],
+                        help="feature extractors: 'world' = pyworld+pysptk "
+                             '(reference-comparable numbers, needs both '
+                             "installed); 'yin' = built-in dependency-free "
+                             "DSP; 'auto' picks world when importable")
     parser.add_argument('--cpu', action='store_true')
     parser.add_argument('--seed', type=int, default=0)
     args = parser.parse_args(argv)
@@ -102,7 +108,8 @@ def main(argv=None):
         pred_x = np.asarray(vocoder.apply(vocoder_params, mel))[0]
         pred_x = np.clip(pred_x, -1, 1)
 
-        metrics = evaluate_pair(pred_x, ref_x, fs)
+        metrics = evaluate_pair(pred_x, ref_x, fs,
+                                backend=args.dsp_backend)
         rows.append(metrics)
         print(f'[{i + 1}/{n}] ' + ' '.join(
             f'{k}={v:.4f}' for k, v in metrics.items()))

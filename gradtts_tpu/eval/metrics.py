@@ -94,13 +94,53 @@ def evaluate_pair(pred_x: np.ndarray, ref_x: np.ndarray, fs: int,
                   f0min: float = 70.0, f0max: float = 400.0,
                   n_fft: int = 512, n_shift: int = 256,
                   mcep_dim: int = 34, mcep_alpha: float = 0.45,
-                  ) -> Dict[str, float]:
+                  backend: str = 'auto') -> Dict[str, float]:
     """All metrics for one (synthesized, reference) waveform pair
     (parity: obtainMetrics, evaluate_tts.py:159-194): F0 tracks are
     DTW-aligned via the mcep tracks, log-F0 RMSE on both-voiced frames,
-    MCD on a separate mcep DTW, GPE/VDE/FFE on the aligned F0."""
+    MCD on a separate mcep DTW, GPE/VDE/FFE on the aligned F0.
+
+    ``backend`` selects the feature extractors:
+      - 'yin': built-in dependency-free DSP (YIN F0 + warped cepstrum).
+        Self-consistent, but absolute values are NOT comparable to numbers
+        from the reference toolchain (see eval/f0.py, eval/mcep.py).
+      - 'world': pyworld harvest F0 + SPTK mcep — the reference's exact
+        extractors, producing reference-comparable MCD/F0 numbers.
+        Requires pyworld + pysptk installed.
+      - 'auto' (default): 'world' when importable, else 'yin'.
+    """
     pred_x = np.asarray(pred_x, np.float64)
     ref_x = np.asarray(ref_x, np.float64)
+
+    if backend == 'auto':
+        from gradtts_tpu.eval.world import world_available
+        backend = 'world' if world_available() else 'yin'
+    if backend == 'world':
+        from gradtts_tpu.eval.world import sptk_mcep, world_extract
+        # reference structure: F0 (and its DTW alignment cepstra) from
+        # WORLD, the MCD cepstra from pysptk.mcep on the raw waveform
+        pred_mcep_f0, pred_f0 = world_extract(
+            pred_x, fs, f0min, f0max, n_fft, n_shift, mcep_dim, mcep_alpha)
+        ref_mcep_f0, ref_f0 = world_extract(
+            ref_x, fs, f0min, f0max, n_fft, n_shift, mcep_dim, mcep_alpha)
+        pred_mcep = sptk_mcep(pred_x, fs, n_fft, n_shift, mcep_dim,
+                              mcep_alpha)
+        ref_mcep = sptk_mcep(ref_x, fs, n_fft, n_shift, mcep_dim,
+                             mcep_alpha)
+        ti, tj = warping_indices(pred_mcep_f0, ref_mcep_f0)
+        ti = np.clip(ti, 0, len(pred_f0) - 1) if len(pred_f0) else ti
+        tj = np.clip(tj, 0, len(ref_f0) - 1) if len(ref_f0) else tj
+        pred_f0_dtw = pred_f0[ti]
+        ref_f0_dtw = ref_f0[tj]
+        return {
+            'log_f0_rmse': log_f0_rmse(ref_f0_dtw, pred_f0_dtw),
+            'mcd': mcd(pred_mcep, ref_mcep, use_dtw=True),
+            'gpe': gross_pitch_error(ref_f0_dtw, pred_f0_dtw),
+            'vde': voicing_decision_error(ref_f0_dtw, pred_f0_dtw),
+            'ffe': f0_frame_error(ref_f0_dtw, pred_f0_dtw),
+        }
+    if backend != 'yin':
+        raise ValueError(f'unknown eval DSP backend {backend!r}')
 
     pred_mcep = mcep_from_waveform(pred_x, fs, n_fft, n_shift, mcep_dim,
                                    mcep_alpha)

@@ -17,12 +17,31 @@ SRCS = [os.path.join(NATIVE, 'mas.cc'),
         os.path.join(NATIVE, 'mas_sanitize_main.cc')]
 
 
-def _build_and_run(tmp_path, san_flags, name):
+def _runtime_present(lib_stem):
+    """True when the sanitizer runtime library exists on this system (so a
+    failed build means a bug in OUR target, not a missing toolchain)."""
+    probe = subprocess.run(
+        ['g++', f'-print-file-name=lib{lib_stem}.so'],
+        capture_output=True, text=True)
+    path = probe.stdout.strip()
+    return probe.returncode == 0 and os.path.isabs(path) \
+        and os.path.exists(path)
+
+
+def _build_and_run(tmp_path, san_flags, name, lib_stem):
     exe = str(tmp_path / name)
     cmd = ['g++', '-O1', '-g', '-fopenmp', *san_flags, '-o', exe, *SRCS]
     build = subprocess.run(cmd, capture_output=True, text=True)
     if build.returncode != 0:
-        pytest.skip(f'{name} build unavailable: {build.stderr[:200]}')
+        # Honest skip policy: skipping is ONLY legitimate when the
+        # sanitizer runtime is genuinely absent from the container. If the
+        # runtime exists, a build failure is a real regression — fail.
+        if not _runtime_present(lib_stem):
+            pytest.skip(f'{name}: sanitizer runtime lib{lib_stem} absent '
+                        f'from this environment ({build.stderr[:200]})')
+        raise AssertionError(
+            f'{name} build failed with lib{lib_stem} present:\n'
+            f'{build.stderr[-2000:]}')
     env = dict(os.environ)
     env.setdefault('ASAN_OPTIONS', 'detect_leaks=0')
     run = subprocess.run([exe], capture_output=True, text=True, env=env,
@@ -36,11 +55,12 @@ def test_mas_asan_ubsan(tmp_path):
     _build_and_run(tmp_path,
                    ['-fsanitize=address,undefined',
                     '-fno-sanitize-recover=all'],
-                   'mas_asan')
+                   'mas_asan', 'asan')
 
 
 def test_mas_tsan(tmp_path):
-    # OpenMP under TSan needs a tsan-instrumented runtime; archer/libomp
-    # are not always present, so a failed BUILD skips. A successful build
-    # that then reports a data race fails the test.
-    _build_and_run(tmp_path, ['-fsanitize=thread'], 'mas_tsan')
+    # OpenMP race check over the prange-equivalent batch loop. A build is
+    # only allowed to skip when libtsan is truly absent (see
+    # _build_and_run); with it present — as in this container — the
+    # instrumented driver must build, run, and report no races.
+    _build_and_run(tmp_path, ['-fsanitize=thread'], 'mas_tsan', 'tsan')
