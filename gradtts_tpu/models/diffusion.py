@@ -27,9 +27,81 @@ from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from gradtts_tpu.models.layers import mish
+
+
+# --------------------------------------------------------------------------
+# Frequency folding (F-only space-to-depth).
+#
+# The model's dec_dim=64 half-fills the v5e MXU's 128 lanes, capping the
+# top U-Net level (80 x T x 64, ~97% of 10-step synthesis) at ~20% MXU.
+# Folding pairs of adjacent F rows into channels — [B, 80, T, 64] ->
+# [B, 40, T, 128] with channel order (f_phase, c) — makes a 3x3 conv an
+# EXACT [2, 3] conv with a phase-rearranged kernel: only 4/3 the MACs
+# (one folded dim, vs 16/9 for 2D space-to-depth) at full 128-lane fill.
+# Measured on v5e (B8 T768 bf16): 1.10 -> 0.25 ms per 64->64 conv (~97% of
+# MXU peak). The time mask [B, 1, T, 1] broadcasts over the folded layout
+# unchanged, linear attention is position-permutation-invariant (a free
+# reshape re-labels the folded phase as extra T positions), and GroupNorm
+# statistics pool the phase dim (ops/pallas/groupnorm_mish.py, phases=2) —
+# so every op is allclose-identical to the unfolded path and checkpoints
+# are untouched (kernels are rearranged at trace time from the stored
+# [3, 3, Ci, Co] parameters).
+# --------------------------------------------------------------------------
+
+
+def freq_fold(x):
+    """[B, F, T, C] -> [B, F/2, T, 2C], channels ordered (f_phase, c)."""
+    b, f, t, c = x.shape
+    return x.reshape(b, f // 2, 2, t, c).transpose(0, 1, 3, 2, 4).reshape(
+        b, f // 2, t, 2 * c)
+
+
+def freq_unfold(x, c):
+    """Inverse of ``freq_fold``."""
+    b, f2, t, _ = x.shape
+    return x.reshape(b, f2, t, 2, c).transpose(0, 1, 3, 2, 4).reshape(
+        b, f2 * 2, t, c)
+
+
+_FFOLD_IDX = np.full((2, 2, 2), 3, np.int32)  # [di, ba, pi] -> df (3=zero)
+for _d in range(2):
+    for _a in range(2):
+        for _p in range(2):
+            _v = _d + 2 * _a + _p - 1
+            if 0 <= _v <= 2:
+                _FFOLD_IDX[_d, _a, _p] = _v
+
+
+def ffold_kernel(w):
+    """Rearrange a stored [3, kt, Ci, Co] conv kernel into the exact
+    [2, kt, 2Ci, 2Co] kernel over F-folded blocks. Output channel order is
+    (f_phase, co); entry [ba, kt, (pi, ci), (di, co)] equals
+    w[di + 2*ba + pi - 1, kt, ci, co] where the F-tap index is in range,
+    else 0 (9/12 of the folded taps are live)."""
+    kt, ci, co = w.shape[1], w.shape[2], w.shape[3]
+    wpad = jnp.pad(w, ((0, 1), (0, 0), (0, 0), (0, 0)))  # row 3 == zeros
+    wk = wpad[jnp.asarray(_FFOLD_IDX)]    # [di, ba, pi, kt, ci, co]
+    wk = wk.transpose(1, 3, 2, 4, 0, 5)   # [ba, kt, pi, ci, di, co]
+    return wk.reshape(2, kt, 2 * ci, 2 * co)
+
+
+def ffold_conv(xs, wk, stride_t: int = 1, pad_t: int = 1):
+    """'SAME' 3x3 conv in F-folded space: pad one block in F, slide the
+    2-block kernel, and take each output phase's shifted window. xs is
+    [B, F2, T, 2Ci]; wk is the ``ffold_kernel`` output; returns
+    [B, F2, T/stride_t, 2Co] in (f_phase, co) channel order."""
+    f2 = xs.shape[1]
+    xp = jnp.pad(xs, ((0, 0), (1, 1), (pad_t, pad_t), (0, 0)))
+    z = jax.lax.conv_general_dilated(
+        xp, wk, (1, stride_t), 'VALID',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))   # [B, F2+1, T', 2Co]
+    co = z.shape[-1] // 2
+    return jnp.concatenate(
+        [z[:, 0:f2, :, :co], z[:, 1:f2 + 1, :, co:]], axis=-1)
 
 
 def get_noise(t, beta_init, beta_term, cumulative=False):
@@ -53,17 +125,47 @@ class SinusoidalPosEmb(nn.Module):
 
 class Upsample(nn.Module):
     """2x up in both (F, T) via transposed conv, torch
-    ConvTranspose2d(dim, dim, 4, 2, 1) semantics (diffusion.py:21-27)."""
+    ConvTranspose2d(dim, dim, 4, 2, 1) semantics (diffusion.py:21-27).
+
+    ``fold_out=True`` emits the result directly in the frequency-folded
+    layout [B, F, 2T, 2*dim] and — more importantly — replaces the
+    lhs-dilated convolution with a dense 2x2-block conv whose kernel packs
+    the four output phases into channels (every tap live): measured 4.2x
+    faster on v5e (0.60 -> 0.14 ms at (40, 384, 64) -> (80, 768, 64))
+    because no zero-inserted rows ever hit the MXU."""
     dim: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        # Equivalent direct convolution: dilate input by 2, correlate with
-        # the spatially-flipped kernel, pad by k-1-p = 2.
+    def __call__(self, x, fold_out: bool = False):
         kernel = self.param('kernel', nn.initializers.lecun_normal(),
                             (4, 4, self.dim, self.dim))
         bias = self.param('bias', nn.initializers.zeros, (self.dim,))
+        if fold_out:
+            b, f, t, c = x.shape
+            o = self.dim
+            # stored-kernel relation: y[2i+di, 2j+dj] sums taps
+            # K[2a+di, 2b+dj] over input blocks (i-1+a, j-1+b); reorder the
+            # stored [kr, ks, c, o] kernel into [a, b, c, (dj, di, o)] —
+            # dj-major so the T phase merges into positions by reshape.
+            wk = kernel.reshape(2, 2, 2, 2, c, o)     # [a, di, b, dj, c, o]
+            wk = wk.transpose(0, 2, 4, 3, 1, 5).reshape(2, 2, c, 4 * o)
+            xp = jnp.pad(x.astype(self.dtype),
+                         ((0, 0), (1, 1), (1, 1), (0, 0)))
+            z = jax.lax.conv_general_dilated(
+                xp, wk.astype(self.dtype), (1, 1), 'VALID',
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+            parts = []
+            for dj in range(2):
+                cols = [z[:, di:di + f, dj:dj + t,
+                          (dj * 2 + di) * o:(dj * 2 + di + 1) * o]
+                        for di in range(2)]
+                parts.append(jnp.concatenate(cols, axis=-1))
+            y = jnp.stack(parts, axis=3).reshape(b, f, 2 * t, 2 * o)
+            return (y.astype(jnp.float32)
+                    + jnp.tile(bias, 2)).astype(self.dtype)
+        # Equivalent direct convolution: dilate input by 2, correlate with
+        # the spatially-flipped kernel, pad by k-1-p = 2.
         # No preferred_element_type here: its transpose rule would pair the
         # f32 cotangent with the bf16 kernel and conv_general_dilated
         # rejects mixed dtypes — XLA accumulates bf16 convs in f32 on the
@@ -78,12 +180,27 @@ class Upsample(nn.Module):
 
 class Downsample(nn.Module):
     """2x down in both (F, T): Conv2d(dim, dim, 3, 2, 1)
-    (diffusion.py:30-36)."""
+    (diffusion.py:30-36).
+
+    ``fold_in=True`` takes frequency-folded input [B, F/2, T, 2*dim]: the
+    F-stride-2 conv keeps only even output rows, i.e. the di=0 half of the
+    folded kernel, and the result is already at block resolution — the
+    output [B, F/2, T/2, dim] leaves folded space naturally."""
     dim: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fold_in: bool = False):
+        if fold_in:
+            ci = x.shape[-1] // 2
+            w, b = _ConvParamHolder((3, 3, ci, self.dim), name='conv')()
+            wk = ffold_kernel(w)[:, :, :, :self.dim]     # di=0 phase only
+            xp = jnp.pad(x.astype(self.dtype),
+                         ((0, 0), (1, 0), (1, 1), (0, 0)))
+            y = jax.lax.conv_general_dilated(
+                xp, wk.astype(self.dtype), (1, 2), 'VALID',
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+            return y + b.astype(self.dtype)
         return nn.Conv(self.dim, (3, 3), strides=(2, 2),
                        padding=((1, 1), (1, 1)), dtype=self.dtype,
                        name='conv')(x)
@@ -103,11 +220,12 @@ class FusedGroupNormMish(nn.Module):
     groups: int = 8
 
     @nn.compact
-    def __call__(self, h, mask):
+    def __call__(self, h, mask, phases: int = 1):
         from gradtts_tpu.ops.pallas.groupnorm_mish import groupnorm_mish
         scale = self.param('scale', nn.initializers.ones, (self.features,))
         bias = self.param('bias', nn.initializers.zeros, (self.features,))
-        return groupnorm_mish(h, mask, scale, bias, self.groups, 1e-5, None)
+        return groupnorm_mish(h, mask, scale, bias, self.groups, 1e-5, None,
+                              phases=phases)
 
 
 class Block(nn.Module):
@@ -121,7 +239,16 @@ class Block(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask):
+    def __call__(self, x, mask, fold: bool = False):
+        if fold:
+            ci = x.shape[-1] // 2
+            w, b = _ConvParamHolder((3, 3, ci, self.dim_out), name='conv')()
+            h = ffold_conv((x * mask).astype(self.dtype),
+                           ffold_kernel(w).astype(self.dtype))
+            h = h + jnp.tile(b, 2).astype(self.dtype)
+            h = FusedGroupNormMish(self.dim_out, self.groups, name='norm')(
+                h, mask.astype(jnp.float32), phases=2)
+            return h.astype(self.dtype)
         h = nn.Conv(self.dim_out, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name='conv')(x * mask)
         h = FusedGroupNormMish(self.dim_out, self.groups, name='norm')(
@@ -138,16 +265,29 @@ class ResnetBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask, time_emb):
+    def __call__(self, x, mask, time_emb, fold: bool = False):
         h = Block(self.dim_out, self.groups, self.dtype,
-                  name='block1')(x, mask)
+                  name='block1')(x, mask, fold=fold)
         temb = nn.Dense(self.dim_out, name='mlp_dense')(mish(time_emb))
+        if fold:
+            temb = jnp.tile(temb, 2)  # (f_phase, c) channel order
         h = h + temb[:, None, None, :].astype(self.dtype)
         h = Block(self.dim_out, self.groups, self.dtype,
-                  name='block2')(h, mask)
+                  name='block2')(h, mask, fold=fold)
         if self.dim != self.dim_out:
-            res = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype,
-                          name='res_conv')(x * mask)
+            if fold:
+                w, b = _ConvParamHolder((1, 1, self.dim, self.dim_out),
+                                        name='res_conv')()
+                xm = (x * mask).astype(self.dtype)
+                bb, f2, t, _ = xm.shape
+                xr = xm.reshape(bb, f2, t, 2, self.dim)
+                res = jnp.einsum('bftpc,co->bftpo', xr,
+                                 w[0, 0].astype(self.dtype))
+                res = res.reshape(bb, f2, t, 2 * self.dim_out) \
+                    + jnp.tile(b, 2).astype(self.dtype)
+            else:
+                res = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype,
+                              name='res_conv')(x * mask)
         else:
             res = x * mask
         return h + res
@@ -259,8 +399,19 @@ class Rezero(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, fused: bool = False):
+    def __call__(self, x, fused: bool = False, fold: bool = False):
         g = self.param('g', nn.initializers.zeros, (1,))
+        if fold:
+            # Linear attention sums softmax(k) v over ALL (F, T) positions
+            # — position-permutation-invariant — so the folded layout
+            # [B, F2, T, (phase, c)] is just a position re-labelling: a
+            # free contiguous reshape exposes it as [B, F2, 2T, c] and the
+            # unfolded attention (jnp or Pallas) applies unchanged.
+            b, f2, t, c2 = x.shape
+            xr = x.reshape(b, f2, 2 * t, c2 // 2)
+            y = LinearAttention(self.dim, dtype=self.dtype,
+                                name='fn')(xr, rezero_g=g, fused=fused)
+            return y.reshape(b, f2, t, c2)
         return LinearAttention(self.dim, dtype=self.dtype,
                                name='fn')(x, rezero_g=g, fused=fused)
 
@@ -283,7 +434,7 @@ class GradLogPEstimator2d(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, mu, t, spk=None,
-                 fused_attention: bool = False):
+                 fused_attention: bool = False, fold_freq: bool = True):
         use_spk_channel = self.n_spks > 1
         has_spk_mlp = self.n_spks > 1 or self.n_spks == -1
 
@@ -295,12 +446,19 @@ class GradLogPEstimator2d(nn.Module):
         t_emb = nn.Dense(self.dim * 4, name='mlp_0')(t_emb)
         t_emb = nn.Dense(self.dim, name='mlp_2')(mish(t_emb))
 
+        # Run the full-resolution level frequency-folded (see the module
+        # docstring at freq_fold): exact arithmetic, ~4x conv throughput.
+        fold = (fold_freq and self.n_feats % 2 == 0
+                and len(self.dim_mults) >= 2)
+
         # [B, T, F] -> NHWC [B, F, T, C]
         chans = [mu.transpose(0, 2, 1), x.transpose(0, 2, 1)]
         if use_spk_channel:
             chans.append(jnp.broadcast_to(s[:, :, None],
                                           (x.shape[0], self.n_feats, x.shape[1])))
         h = jnp.stack(chans, axis=-1).astype(self.dtype)
+        if fold:
+            h = freq_fold(h)
         m = mask[:, None, :, None].astype(h.dtype)  # [B, 1, T, 1]
 
         dims = [2 + (1 if use_spk_channel else 0)] + \
@@ -312,17 +470,22 @@ class GradLogPEstimator2d(nn.Module):
         masks = [m]
         for ind, (dim_in, dim_out) in enumerate(in_out):
             is_last = ind >= num_res - 1
+            lvl_fold = fold and ind == 0
             mask_down = masks[-1]
             h = ResnetBlock(dim_in, dim_out, self.groups, self.dtype,
-                            name=f'downs_{ind}_res1')(h, mask_down, t_emb)
+                            name=f'downs_{ind}_res1')(h, mask_down, t_emb,
+                                                      fold=lvl_fold)
             h = ResnetBlock(dim_out, dim_out, self.groups, self.dtype,
-                            name=f'downs_{ind}_res2')(h, mask_down, t_emb)
+                            name=f'downs_{ind}_res2')(h, mask_down, t_emb,
+                                                      fold=lvl_fold)
             h = Rezero(dim_out, self.dtype,
-                       name=f'downs_{ind}_attn')(h, fused=fused_attention)
+                       name=f'downs_{ind}_attn')(h, fused=fused_attention,
+                                                 fold=lvl_fold)
             hiddens.append(h)
             if not is_last:
                 h = Downsample(dim_out, self.dtype,
-                               name=f'downs_{ind}_down')(h * mask_down)
+                               name=f'downs_{ind}_down')(h * mask_down,
+                                                         fold_in=lvl_fold)
             else:
                 h = h * mask_down
             masks.append(mask_down[:, :, ::2, :])
@@ -346,10 +509,25 @@ class GradLogPEstimator2d(nn.Module):
                             name=f'ups_{ind}_res2')(h, mask_up, t_emb)
             h = Rezero(dim_in, self.dtype,
                        name=f'ups_{ind}_attn')(h, fused=fused_attention)
-            h = Upsample(dim_in, self.dtype, name=f'ups_{ind}_up')(h * mask_up)
+            top = ind == num_res - 2
+            h = Upsample(dim_in, self.dtype,
+                         name=f'ups_{ind}_up')(h * mask_up,
+                                               fold_out=fold and top)
 
         h = Block(self.dim, self.groups, self.dtype,
-                  name='final_block')(h, m)
+                  name='final_block')(h, m, fold=fold)
+        if fold:
+            w, b = _ConvParamHolder((1, 1, self.dim, 1),
+                                    name='final_conv')()
+            hm = (h * m).astype(self.dtype)
+            bb, f2, tt, _ = hm.shape
+            hr = hm.reshape(bb, f2, tt, 2, self.dim)
+            out = jnp.einsum('bftpc,co->bftpo', hr,
+                             w[0, 0].astype(self.dtype))[..., 0]
+            out = out + b.astype(self.dtype)          # [B, F2, T, 2]
+            out = (out * m).astype(jnp.float32)
+            # unfold phases back into F and emit [B, T, F]
+            return out.transpose(0, 2, 1, 3).reshape(bb, tt, 2 * f2)
         out = nn.Conv(1, (1, 1), dtype=self.dtype, name='final_conv')(h * m)
         out = (out * m).astype(jnp.float32)
         return out[..., 0].transpose(0, 2, 1)  # NHWC -> [B, T, F]

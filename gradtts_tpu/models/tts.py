@@ -118,10 +118,11 @@ class GradTTS(nn.Module):
         return mu_x, logw, x_mask, spk_vec
 
     def estimate(self, x_t, mask, mu, t, spk=None, spk_is_embedded=False,
-                 fused_attention: bool = False):
+                 fused_attention: bool = False, fold_freq: bool = True):
         spk_vec = spk if spk_is_embedded else self.embed_speaker(spk)
         return self.estimator(x_t, mask, mu, t, spk_vec,
-                              fused_attention=fused_attention)
+                              fused_attention=fused_attention,
+                              fold_freq=fold_freq)
 
     def __call__(self, x, x_lengths, y, y_lengths, spk=None):
         """Init-only path: touches encoder + estimator params."""

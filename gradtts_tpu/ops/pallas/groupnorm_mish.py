@@ -130,25 +130,32 @@ def _forward(x, mask, gamma, beta, groups: int, eps: float,
     return out
 
 
-def _reference(x, mask, gamma, beta, groups: int, eps: float):
+def _reference(x, mask, gamma, beta, groups: int, eps: float,
+               phases: int = 1):
     """jnp fallback with identical semantics (the production path on
     current TPUs — see _dispatch — and the custom-VJP backward's recompute
     base). Statistics are single-pass (E[x^2] - E[x]^2): one read of x for
     both moments instead of a mean pass plus a centered-variance pass,
     which halves the HBM traffic of the reduction (the dominant cost of
     this op on v5e). Per-channel scale/shift are folded so the second
-    sweep is one multiply-add before the activation."""
+    sweep is one multiply-add before the activation.
+
+    ``phases > 1``: x is frequency-folded — its channel dim is
+    (phase, real_channel) with C = phases * len(gamma), and the group
+    statistics pool over the phase dim (the folded copies of a channel are
+    the same logical channel at different spatial rows)."""
     B, F, T, C = x.shape
-    Cg = C // groups
-    x32 = x.astype(jnp.float32).reshape(B, F, T, groups, Cg)
-    s1 = jnp.sum(x32, axis=(1, 2, 4), keepdims=True)
-    s2 = jnp.sum(x32 * x32, axis=(1, 2, 4), keepdims=True)
-    n = F * T * Cg
+    Creal = C // phases
+    Cg = Creal // groups
+    x32 = x.astype(jnp.float32).reshape(B, F, T, phases, groups, Cg)
+    s1 = jnp.sum(x32, axis=(1, 2, 3, 5), keepdims=True)
+    s2 = jnp.sum(x32 * x32, axis=(1, 2, 3, 5), keepdims=True)
+    n = F * T * phases * Cg
     mean = s1 / n
     var = jnp.maximum(s2 / n - mean * mean, 0.0)
     rstd = jax.lax.rsqrt(var + eps)
-    g32 = gamma.astype(jnp.float32).reshape(1, 1, 1, groups, Cg)
-    b32 = beta.astype(jnp.float32).reshape(1, 1, 1, groups, Cg)
+    g32 = gamma.astype(jnp.float32).reshape(1, 1, 1, 1, groups, Cg)
+    b32 = beta.astype(jnp.float32).reshape(1, 1, 1, 1, groups, Cg)
     scale = rstd * g32
     shift = b32 - mean * scale
     y = (x32 * scale + shift).reshape(B, F, T, C)
@@ -157,8 +164,8 @@ def _reference(x, mask, gamma, beta, groups: int, eps: float):
 
 
 def groupnorm_mish(x, mask, gamma, beta, groups: int = 8, eps: float = 1e-5,
-                   use_pallas: Optional[bool] = None):
-    """x: [B, F, T, C]; mask: [B, 1, T, 1]; gamma/beta: [C].
+                   use_pallas: Optional[bool] = None, phases: int = 1):
+    """x: [B, F, T, C]; mask: [B, 1, T, 1]; gamma/beta: [C / phases].
 
     ``use_pallas=None`` selects the XLA-fused jnp path: measured on v5e
     (B16 F80 T768 C64 bf16) it sustains ~168 GB/s effective vs ~18 GB/s
@@ -169,10 +176,13 @@ def groupnorm_mish(x, mask, gamma, beta, groups: int = 8, eps: float = 1e-5,
     ``jax.jvp`` in the likelihood engine). The kernel stays available
     explicitly (``use_pallas=True``) for larger-C experiments; that path
     is custom_vjp-wrapped and supports reverse mode only.
+
+    The Pallas kernel predates the frequency-folded layout; ``phases > 1``
+    always takes the jnp path.
     """
-    if use_pallas:
+    if use_pallas and phases == 1:
         return _pallas_gn_mish(x, mask, gamma, beta, groups, eps)
-    return _reference(x, mask, gamma, beta, groups, eps)
+    return _reference(x, mask, gamma, beta, groups, eps, phases)
 
 
 def _on_tpu() -> bool:

@@ -114,3 +114,42 @@ def test_synthesize_fused_attention_matches_jnp(pair1):
         return np.array(res.decoder_outputs)
 
     np.testing.assert_allclose(run(True), run(False), rtol=1e-4, atol=1e-4)
+
+
+def test_estimator_fold_freq_matches_unfolded():
+    """The frequency-folded top level (freq_fold / ffold_kernel,
+    models/diffusion.py) is an exact re-association of the unfolded
+    arithmetic: same params, same output, both grads close."""
+    from gradtts_tpu.models.diffusion import GradLogPEstimator2d
+
+    for n_feats, dim, n_spks in [(16, 16, 1), (80, 64, 4)]:
+        est = GradLogPEstimator2d(dim=dim, n_spks=n_spks, spk_emb_dim=8,
+                                  n_feats=n_feats)
+        rng = np.random.default_rng(0)
+        b, t_len = 2, 32
+        xt = jnp.asarray(rng.standard_normal((b, t_len, n_feats)),
+                         jnp.float32)
+        mu = jnp.asarray(rng.standard_normal((b, t_len, n_feats)),
+                         jnp.float32)
+        mask = np.ones((b, t_len), np.float32)
+        mask[1, -7:] = 0
+        mask = jnp.asarray(mask)
+        tt = jnp.asarray([0.3, 0.8], jnp.float32)
+        spk = (jnp.asarray(rng.standard_normal((b, 8)), jnp.float32)
+               if n_spks != 1 else None)
+        params = est.init(jax.random.PRNGKey(0), xt, mask, mu, tt, spk)
+
+        def loss(p, fold):
+            return jnp.sum(est.apply(p, xt, mask, mu, tt, spk,
+                                     fold_freq=fold) ** 2)
+
+        y_fold = est.apply(params, xt, mask, mu, tt, spk, fold_freq=True)
+        y_ref = est.apply(params, xt, mask, mu, tt, spk, fold_freq=False)
+        np.testing.assert_allclose(np.array(y_fold), np.array(y_ref),
+                                   atol=2e-5, rtol=1e-4)
+        g_fold = jax.grad(loss)(params, True)
+        g_ref = jax.grad(loss)(params, False)
+        jax.tree_util.tree_map(
+            lambda a, b_: np.testing.assert_allclose(
+                np.array(a), np.array(b_), atol=5e-4, rtol=5e-3),
+            g_fold, g_ref)
