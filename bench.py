@@ -19,7 +19,10 @@ vs_baseline: the reference publishes no numbers (BASELINE.json
 Grad-TTS throughput derived from the upstream paper's reported RTF at
 10-step sampling (~0.1 => ~10 audio-sec/s) times batch scaling observed on
 A100-class parts (~x4) => 40 audio-sec/s. Treat it as a yardstick, not a
-measured baseline.
+measured baseline. One point IS measured: tools/baseline_anchor.py runs
+the unmodified reference torch implementation and this framework on the
+same host CPU with identical converted weights (see PERFORMANCE.md,
+"Measured baseline anchor").
 """
 
 import json

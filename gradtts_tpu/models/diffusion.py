@@ -155,15 +155,17 @@ class Upsample(nn.Module):
             z = jax.lax.conv_general_dilated(
                 xp, wk.astype(self.dtype), (1, 1), 'VALID',
                 dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+            # bias folds into the conv epilogue; the phase assembly below is
+            # then pure bf16 data movement (an f32 bias add after the
+            # stack+reshape measured +0.6 ms/fwd in relayout copies on v5e)
+            z = z + jnp.tile(bias, 4).astype(z.dtype)
             parts = []
             for dj in range(2):
                 cols = [z[:, di:di + f, dj:dj + t,
                           (dj * 2 + di) * o:(dj * 2 + di + 1) * o]
                         for di in range(2)]
                 parts.append(jnp.concatenate(cols, axis=-1))
-            y = jnp.stack(parts, axis=3).reshape(b, f, 2 * t, 2 * o)
-            return (y.astype(jnp.float32)
-                    + jnp.tile(bias, 2)).astype(self.dtype)
+            return jnp.stack(parts, axis=3).reshape(b, f, 2 * t, 2 * o)
         # Equivalent direct convolution: dilate input by 2, correlate with
         # the spatially-flipped kernel, pad by k-1-p = 2.
         # No preferred_element_type here: its transpose rule would pair the
@@ -334,8 +336,10 @@ class LinearAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, rezero_g=None, fused: bool = False):
+    def __call__(self, x, rezero_g=None, fused: bool = False,
+                 phases: int = 1):
         b, f, t, _ = x.shape
+        cin = x.shape[-1] // phases
         hidden = self.heads * self.dim_head
         # Channel order is (qkv, heads, dim_head) — matches the reference's
         # rearrange 'b (qkv heads c) h w -> qkv b heads c (h w)'. One
@@ -344,8 +348,7 @@ class LinearAttention(nn.Module):
         # convs/matmuls: the k-softmax reductions below then read only the
         # 1/3-size k tensor instead of slicing the fused qkv output
         # (measured ~1 ms/fwd saved at the top U-Net level on v5e).
-        w_qkv = _ParamHolder((1, 1, x.shape[-1], hidden * 3),
-                             name='to_qkv')()
+        w_qkv = _ParamHolder((1, 1, cin, hidden * 3), name='to_qkv')()
         # to_out params declared directly (same tree as an nn.Conv) so both
         # the jnp and the fused kernel path share them
         w_out, b_out = _ConvParamHolder((1, 1, hidden, self.dim),
@@ -357,7 +360,8 @@ class LinearAttention(nn.Module):
             return fused_linear_attention_rezero(
                 x, wf[:, :hidden], wf[:, hidden:2 * hidden],
                 wf[:, 2 * hidden:], w_out[0, 0], b_out, rezero_g,
-                self.dim_head)
+                self.dim_head, phases)
+        assert phases == 1, 'jnp path expects unfolded input'
         w = w_qkv[0, 0].astype(self.dtype)
         q = jnp.einsum('bftc,cd->bftd', x, w[:, :hidden])
         k = jnp.einsum('bftc,cd->bftd', x, w[:, hidden:2 * hidden])
@@ -401,12 +405,19 @@ class Rezero(nn.Module):
     @nn.compact
     def __call__(self, x, fused: bool = False, fold: bool = False):
         g = self.param('g', nn.initializers.zeros, (1,))
+        if fold and fused:
+            # the Pallas kernel handles the folded layout natively
+            # (block-diagonal projections, phase-folded context) — no
+            # lane-halving reshape at the HLO level
+            return LinearAttention(self.dim, dtype=self.dtype,
+                                   name='fn')(x, rezero_g=g, fused=True,
+                                              phases=2)
         if fold:
             # Linear attention sums softmax(k) v over ALL (F, T) positions
             # — position-permutation-invariant — so the folded layout
             # [B, F2, T, (phase, c)] is just a position re-labelling: a
             # free contiguous reshape exposes it as [B, F2, 2T, c] and the
-            # unfolded attention (jnp or Pallas) applies unchanged.
+            # unfolded attention applies unchanged.
             b, f2, t, c2 = x.shape
             xr = x.reshape(b, f2, 2 * t, c2 // 2)
             y = LinearAttention(self.dim, dtype=self.dtype,
@@ -502,17 +513,27 @@ class GradLogPEstimator2d(nn.Module):
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out[1:])):
             mask_up = masks.pop()
-            h = jnp.concatenate([h, hiddens.pop()], axis=-1)
-            h = ResnetBlock(dim_out * 2, dim_in, self.groups, self.dtype,
-                            name=f'ups_{ind}_res1')(h, mask_up, t_emb)
-            h = ResnetBlock(dim_in, dim_in, self.groups, self.dtype,
-                            name=f'ups_{ind}_res2')(h, mask_up, t_emb)
-            h = Rezero(dim_in, self.dtype,
-                       name=f'ups_{ind}_attn')(h, fused=fused_attention)
             top = ind == num_res - 2
+            # the second-to-top level also runs half-lane (dim_in == dim at
+            # F/2): fold it too when its F extent is still even
+            lvl_fold = fold and top and (self.n_feats // 2) % 2 == 0
+            h = jnp.concatenate([h, hiddens.pop()], axis=-1)
+            if lvl_fold:
+                h = freq_fold(h)
+            h = ResnetBlock(dim_out * 2, dim_in, self.groups, self.dtype,
+                            name=f'ups_{ind}_res1')(h, mask_up, t_emb,
+                                                    fold=lvl_fold)
+            h = ResnetBlock(dim_in, dim_in, self.groups, self.dtype,
+                            name=f'ups_{ind}_res2')(h, mask_up, t_emb,
+                                                    fold=lvl_fold)
+            h = Rezero(dim_in, self.dtype,
+                       name=f'ups_{ind}_attn')(h, fused=fused_attention,
+                                               fold=lvl_fold)
+            h = h * mask_up
+            if lvl_fold:
+                h = freq_unfold(h, dim_in)
             h = Upsample(dim_in, self.dtype,
-                         name=f'ups_{ind}_up')(h * mask_up,
-                                               fold_out=fold and top)
+                         name=f'ups_{ind}_up')(h, fold_out=fold and top)
 
         h = Block(self.dim, self.groups, self.dtype,
                   name='final_block')(h, m, fold=fold)

@@ -51,7 +51,8 @@ _warned_fallback = False
 
 
 def _stats_kernel(x_ref, wk_ref, wv_ref, ctx_ref, den_ref,
-                  m_ref, acc_ref, d_ref, *, n_total: int, n_tile: int):
+                  m_ref, acc_ref, d_ref, *, n_total: int, n_tile: int,
+                  phases: int):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -60,25 +61,42 @@ def _stats_kernel(x_ref, wk_ref, wv_ref, ctx_ref, den_ref,
         acc_ref[...] = jnp.zeros_like(acc_ref)
         d_ref[...] = jnp.zeros_like(d_ref)
 
-    x = x_ref[0]                                             # [Nt, C]
+    x = x_ref[0]                                  # [Nt, phases*C]
+    # phases == 2: wk/wv are host-built block-diagonal [2C, 2H], so k/v
+    # columns are phase-blocked — each x row holds TWO real positions
+    # (frequency-folded layout) and both project at full 128-lane fill.
     k = jnp.dot(x, wk_ref[...], preferred_element_type=jnp.float32)
     v = jnp.dot(x, wv_ref[...], preferred_element_type=jnp.float32)
+    H = k.shape[-1] // phases
 
-    pos = jax.lax.broadcasted_iota(jnp.int32, k.shape, 0) + t * n_tile
-    valid = pos < n_total                                    # [Nt, H]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (k.shape[0], H), 0) \
+        + t * n_tile
+    valid = pos < n_total                         # [Nt, H]
 
     m_old = m_ref[0]                                         # [H]
-    tile_max = jnp.max(jnp.where(valid, k, _NEG), axis=0)
+    # per-phase halves (static 128-aligned lane slices); one shared online
+    # max per real attention feature across all phases
+    ks = [k[:, p * H:(p + 1) * H] for p in range(phases)]
+    vs = [v[:, p * H:(p + 1) * H] for p in range(phases)]
+    tile_max = jnp.max(jnp.where(valid, ks[0], _NEG), axis=0)
+    for kp in ks[1:]:
+        tile_max = jnp.maximum(
+            tile_max, jnp.max(jnp.where(valid, kp, _NEG), axis=0))
     m_new = jnp.maximum(m_old, tile_max)
     alpha = jnp.exp(m_old - m_new)                           # [H]
-    ek = jnp.where(valid, jnp.exp(k - m_new[None, :]), 0.0)  # [Nt, H]
-    v = jnp.where(valid, v, 0.0)  # padded tail rows may be NaN; 0*NaN=NaN
-
     m_ref[0] = m_new
-    d_ref[0] = d_ref[0] * alpha + jnp.sum(ek, axis=0)
-    acc_ref[...] = acc_ref[...] * alpha[:, None] + jax.lax.dot_general(
-        ek, v, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                  # [H, H]
+
+    d_new = d_ref[0] * alpha
+    acc_new = acc_ref[...] * alpha[:, None]
+    for kp, vp in zip(ks, vs):
+        ek = jnp.where(valid, jnp.exp(kp - m_new[None, :]), 0.0)
+        vp = jnp.where(valid, vp, 0.0)  # padded tail rows may be NaN
+        d_new = d_new + jnp.sum(ek, axis=0)
+        acc_new = acc_new + jax.lax.dot_general(
+            ek, vp, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [H, H]
+    d_ref[0] = d_new
+    acc_ref[...] = acc_new
 
     @pl.when(t == pl.num_programs(1) - 1)
     def _emit():
@@ -87,6 +105,8 @@ def _stats_kernel(x_ref, wk_ref, wv_ref, ctx_ref, den_ref,
 
 
 def _apply_kernel(x_ref, wq_ref, ctx2_ref, bias_ref, out_ref):
+    # phase handling is free here: wq and ctx2 arrive block-diagonal, so
+    # o columns come out phase-blocked to match the folded x layout.
     x = x_ref[0]                                             # [Nt, C]
     q = jnp.dot(x, wq_ref[...], preferred_element_type=jnp.float32)
     o = jnp.dot(q.astype(x.dtype), ctx2_ref[0],
@@ -108,22 +128,43 @@ def _head_blockdiag(hidden: int, dim_head: int):
     return (h[:, None] == h[None, :]).astype(np.float32)
 
 
+def _blockdiag2(w):
+    """[A, B] -> [[w, 0], [0, w]] of shape [2A, 2B]."""
+    a, b = w.shape
+    z = jnp.zeros_like(w)
+    return jnp.concatenate(
+        [jnp.concatenate([w, z], axis=1),
+         jnp.concatenate([z, w], axis=1)], axis=0)
+
+
 def _forward(x, w_q, w_k, w_v, w_out, b_out, g,
-             dim_head: int, interpret: bool):
-    B, F, T, C = x.shape
-    H = w_q.shape[1]
+             dim_head: int, phases: int, interpret: bool):
+    # phases == 2: x is frequency-folded [B, F/2, T, 2C] (channel order
+    # (phase, c)); the projections are applied block-diagonally so each
+    # row's two real positions project independently at full lane fill,
+    # and the stats kernel folds the two phase blocks into one [H, H]
+    # context. Mathematically identical to running unfolded — without the
+    # lane-halving relayout an HLO-level reshape would cost.
+    B, F, T, C = x.shape                       # C = phases * C_real
+    H = w_q.shape[1]                           # per-phase hidden
     N = F * T
     xr = x.reshape(B, N, C)
     n_tile = _pick_n_tile(N, C, x.dtype)
     grid = (B, pl.cdiv(N, n_tile))
 
+    if phases == 2:
+        w_k_in, w_v_in = _blockdiag2(w_k), _blockdiag2(w_v)
+    else:
+        w_k_in, w_v_in = w_k, w_v
+
     ctx, den = pl.pallas_call(
-        functools.partial(_stats_kernel, n_total=N, n_tile=n_tile),
+        functools.partial(_stats_kernel, n_total=N, n_tile=n_tile,
+                          phases=phases),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, n_tile, C), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((C, H), lambda b, t: (0, 0)),
-            pl.BlockSpec((C, H), lambda b, t: (0, 0)),
+            pl.BlockSpec((C, phases * H), lambda b, t: (0, 0)),
+            pl.BlockSpec((C, phases * H), lambda b, t: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, H, H), lambda b, t: (b, 0, 0)),
@@ -141,22 +182,29 @@ def _forward(x, w_q, w_k, w_v, w_out, b_out, g,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary', 'arbitrary')),
         interpret=interpret,
-    )(xr, w_k.astype(x.dtype), w_v.astype(x.dtype))
+    )(xr, w_k_in.astype(x.dtype), w_v_in.astype(x.dtype))
 
     # tiny per-batch fold: blockdiag head mask, denominator, Wout, rezero g
     bd = jnp.asarray(_head_blockdiag(H, dim_head))
     ctx2 = (ctx * bd[None]) / den.reshape(B, 1, H).transpose(0, 2, 1)
     ctx2 = jnp.einsum('bde,ec->bdc', ctx2,
-                      w_out.astype(jnp.float32)) * g        # [B, H, C]
-    bias = (b_out.astype(jnp.float32) * g).reshape(1, C)
+                      w_out.astype(jnp.float32)) * g        # [B, H, C_real]
+    bias = (b_out.astype(jnp.float32) * g).reshape(1, -1)
+
+    if phases == 2:
+        w_q_in = _blockdiag2(w_q)
+        ctx2 = jax.vmap(_blockdiag2)(ctx2)                  # [B, 2H, 2C_r]
+        bias = jnp.tile(bias, (1, 2))
+    else:
+        w_q_in = w_q
 
     out = pl.pallas_call(
         _apply_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, n_tile, C), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((C, H), lambda b, t: (0, 0)),
-            pl.BlockSpec((1, H, C), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((C, phases * H), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, phases * H, C), lambda b, t: (b, 0, 0)),
             pl.BlockSpec((1, C), lambda b, t: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, n_tile, C), lambda b, t: (b, t, 0)),
@@ -164,7 +212,7 @@ def _forward(x, w_q, w_k, w_v, w_out, b_out, g,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary', 'arbitrary')),
         interpret=interpret,
-    )(xr, w_q.astype(x.dtype), ctx2.astype(x.dtype), bias)
+    )(xr, w_q_in.astype(x.dtype), ctx2.astype(x.dtype), bias)
     return out.reshape(B, F, T, C)
 
 
@@ -199,12 +247,26 @@ def _on_tpu() -> bool:
         return False
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _reference_phased(x, w_q, w_k, w_v, w_out, b_out, g, dim_head, phases):
+    if phases == 1:
+        return _reference(x, w_q, w_k, w_v, w_out, b_out, g, dim_head)
+    # folded input: a contiguous reshape re-labels the phase dim as extra
+    # positions (linear attention is position-permutation-invariant)
+    b, f, t, c = x.shape
+    xr = x.reshape(b, f, phases * t, c // phases)
+    y = _reference(xr, w_q, w_k, w_v, w_out, b_out, g, dim_head)
+    return y.reshape(b, f, t, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def fused_linear_attention_rezero(x, w_q, w_k, w_v, w_out, b_out, g,
-                                  dim_head: int = 32):
-    """x: [B, F, T, C]; w_q/w_k/w_v: [C, H]; w_out: [H, C]; b_out: [C];
-    g: ReZero gain scalar (shape [1] or scalar). Returns
+                                  dim_head: int = 32, phases: int = 1):
+    """x: [B, F, T, C]; w_q/w_k/w_v: [C/phases, H]; w_out: [H, C/phases];
+    b_out: [C/phases]; g: ReZero gain scalar (shape [1] or scalar). Returns
     ``linear_attention(x) @ w_out + b_out) * g + x``.
+
+    ``phases=2``: x is frequency-folded (channel order (phase, c)) and the
+    kernel runs phase-natively — no lane-halving reshape at the HLO level.
 
     Reverse-mode differentiable only (custom_vjp recomputes through the jnp
     reference); callers needing jax.jvp must use the module's jnp path.
@@ -212,7 +274,7 @@ def fused_linear_attention_rezero(x, w_q, w_k, w_v, w_out, b_out, g,
     g = jnp.asarray(g, jnp.float32).reshape(())
     try:
         return _forward(x, w_q, w_k, w_v, w_out, b_out, g, dim_head,
-                        interpret=not _on_tpu())
+                        phases, interpret=not _on_tpu())
     except (NotImplementedError, ValueError) as e:
         # Only unsupported-backend trace-time failures fall back (Pallas
         # raises NotImplementedError/ValueError when the platform or a
@@ -228,19 +290,20 @@ def fused_linear_attention_rezero(x, w_q, w_k, w_v, w_out, b_out, g,
                 'fused_linear_attention_rezero: Pallas path unavailable '
                 f'({type(e).__name__}: {e}); using the jnp reference path',
                 RuntimeWarning)
-        return _reference(x, w_q, w_k, w_v, w_out, b_out, g, dim_head)
+        return _reference_phased(x, w_q, w_k, w_v, w_out, b_out, g,
+                                 dim_head, phases)
 
 
-def _fwd(x, w_q, w_k, w_v, w_out, b_out, g, dim_head):
+def _fwd(x, w_q, w_k, w_v, w_out, b_out, g, dim_head, phases):
     out = fused_linear_attention_rezero(x, w_q, w_k, w_v, w_out, b_out, g,
-                                        dim_head)
+                                        dim_head, phases)
     return out, (x, w_q, w_k, w_v, w_out, b_out, g)
 
 
-def _bwd(dim_head, residuals, dy):
+def _bwd(dim_head, phases, residuals, dy):
     x, w_q, w_k, w_v, w_out, b_out, g = residuals
     _, vjp = jax.vjp(
-        lambda *a: _reference(*a, dim_head=dim_head),
+        lambda *a: _reference_phased(*a, dim_head=dim_head, phases=phases),
         x, w_q, w_k, w_v, w_out, b_out,
         jnp.asarray(g, jnp.float32).reshape(()))
     grads = vjp(dy)

@@ -136,3 +136,42 @@ def test_estimator_fused_attention_matches_jnp():
     y1 = est.apply(params, xt, mask, mu, t, None, fused_attention=True)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_linear_attention_phased_parity():
+    """phases=2 (frequency-folded input): the phase-native kernel path —
+    block-diagonal projections, shared online max, phase-folded context —
+    matches the unfolded reference on the re-labelled positions."""
+    x, w_q, w_k, w_v, w_out, b_out, g = _la_inputs(4, B=2, F=4, T=12,
+                                                   C=16, H=32)
+    b, f, t, c = x.shape
+    xf = x.reshape(b, f // 2, 2, t, c).transpose(0, 1, 3, 2, 4).reshape(
+        b, f // 2, t, 2 * c)
+    ref = la._reference_phased(xf, w_q, w_k, w_v, w_out, b_out,
+                               jnp.float32(0.7), 8, 2)
+    out = la.fused_linear_attention_rezero(xf, w_q, w_k, w_v, w_out, b_out,
+                                           g, 8, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # and the folded result unfolds to the unfolded attention's output
+    ref_unf = la._reference(x, w_q, w_k, w_v, w_out, b_out,
+                            jnp.float32(0.7), 8)
+    unf = np.asarray(out).reshape(b, f // 2, t, 2, c).transpose(
+        0, 1, 3, 2, 4).reshape(b, f, t, c)
+    np.testing.assert_allclose(unf, np.asarray(ref_unf),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_linear_attention_phased_multitile(monkeypatch):
+    monkeypatch.setattr(la, '_TILE_LIMIT_BYTES', 8 * 32 * 4 * 8)
+    x, w_q, w_k, w_v, w_out, b_out, g = _la_inputs(5, B=1, F=6, T=9,
+                                                   C=16, H=32)
+    b, f, t, c = x.shape
+    xf = x.reshape(b, f // 2, 2, t, c).transpose(0, 1, 3, 2, 4).reshape(
+        b, f // 2, t, 2 * c)
+    ref = la._reference_phased(xf, w_q, w_k, w_v, w_out, b_out,
+                               jnp.float32(0.7), 8, 2)
+    out = la.fused_linear_attention_rezero(xf, w_q, w_k, w_v, w_out, b_out,
+                                           g, 8, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
