@@ -72,7 +72,8 @@ def _init_tts(cfg, B, TX, dtype):
     return model, params, x, x_lengths, spk
 
 
-def bench_mel_synthesis(preset, metric, n_steps=10, B=8, TX=128, Y=768):
+def bench_mel_synthesis(preset, metric, n_steps=10, B=8, TX=128, Y=768,
+                        sampler='euler'):
     # B=8 is the measured v5e optimum (batch dim tiles onto 8 sublanes;
     # B=16 costs 2.09x the B=8 time) — see bench.py / PERFORMANCE.md
     from gradtts_tpu import get_config
@@ -83,14 +84,14 @@ def bench_mel_synthesis(preset, metric, n_steps=10, B=8, TX=128, Y=768):
 
     def fn(params, x, x_lengths, spk, key):
         res = synthesize(model, params, x, x_lengths, n_timesteps=n_steps,
-                         y_max_length=Y, key=key, spk=spk)
+                         y_max_length=Y, key=key, spk=spk, sampler=sampler)
         return res.decoder_outputs.sum()
 
     jfn = jax.jit(fn)
     per_call = timed_per_call(
         jfn, lambda s: (params, x, x_lengths, spk, jax.random.PRNGKey(s)))
     emit(metric, B * Y * HOP / SR / per_call, 'audio_s/s/chip',
-         f'{preset} B{B} T{Y} {n_steps}-step euler bf16')
+         f'{preset} B{B} T{Y} {n_steps}-step {sampler} bf16')
 
 
 def bench_waveform(B=8, TX=128, Y=768, n_steps=50):
@@ -215,6 +216,12 @@ ALL = {
         'libri-tts', 'multispeaker_mel_10step_euler', n_steps=10),
     'train': bench_train_step,
     'likelihood': bench_likelihood,
+    # supplementary (beyond-reference capability): the multistep
+    # exponential integrator at 4 steps matches >=10-step Euler ODE error
+    # (tests/test_dpm_sampler.py; solver-error-validated only — no trained
+    # checkpoint exists in this environment for an audio-fidelity check)
+    'dpm4': lambda: bench_mel_synthesis(
+        'ljspeech', 'mel_dpm_4step', n_steps=4, sampler='dpm'),
 }
 
 

@@ -48,28 +48,38 @@ def _forward_dp(value, t_x, t_y):
         return new_col, new_col
 
     init = jnp.full((tx_max,), MAX_NEG, dtype=value.dtype)
-    _, cols = jax.lax.scan(step, init, (jnp.arange(ty_max), value.T))
+    # unroll: each iteration is tiny vector work over [Tx]; on TPU the
+    # sequential loop overhead dominates, so fewer, fatter iterations win
+    _, cols = jax.lax.scan(step, init, (jnp.arange(ty_max), value.T),
+                           unroll=8)
     return cols.T  # [Tx, Ty]
 
 
 def _backtrace(v_acc, t_x, t_y):
-    """Reverse scan emitting the chosen text index per mel frame."""
+    """Reverse scan emitting the chosen text index per mel frame.
+
+    The move decision ``x == y or V[x, y-1] < V[x-1, y-1]`` depends only on
+    (x, y), so the whole decision matrix is precomputed vectorized and the
+    sequential part is just one boolean gather per frame."""
     tx_max, ty_max = v_acc.shape
+    xs = jnp.arange(tx_max)[:, None]
+    ys_full = jnp.arange(ty_max)[None, :]
+    v_here = jnp.roll(v_acc, 1, axis=1)              # V[x, y-1]
+    v_diag = jnp.roll(v_acc, (1, 1), axis=(0, 1))    # V[x-1, y-1]
+    move_m = (xs != 0) & ((xs == ys_full) | (v_here < v_diag))  # [Tx, Ty]
+
     ys = jnp.arange(ty_max - 1, -1, -1)
-    # column y-1 of the accumulated DP matrix, aligned with the scan order
-    prev_cols = jnp.roll(v_acc, 1, axis=1).T[::-1]  # [Ty, Tx], row i = V[:, y-1]
+    move_rows = move_m.T[::-1]                       # [Ty, Tx], y desc
 
     def step(index, inputs):
-        y, prev_col = inputs
+        y, move_row = inputs
         active = y < t_y
         emit = jnp.where(active, index, -1)
-        v_here = jnp.take(prev_col, index)
-        v_diag = jnp.take(prev_col, jnp.maximum(index - 1, 0))
-        move = (index != 0) & ((index == y) | (v_here < v_diag))
+        move = jnp.take(move_row, index)
         index = jnp.where(active & move, index - 1, index)
         return index, emit
 
-    _, emitted = jax.lax.scan(step, t_x - 1, (ys, prev_cols))
+    _, emitted = jax.lax.scan(step, t_x - 1, (ys, move_rows), unroll=8)
     # emitted is ordered y = Ty-1 .. 0; flip back to ascending y
     return emitted[::-1]  # [Ty], -1 where y >= t_y
 
