@@ -96,14 +96,15 @@ def main(argv=None):
     loader = DataLoader(dataset, args.batch_size, collate, shuffle=True,
                         seed=args.seed, drop_last=False)
 
-    # data-parallel synthesis: shard the batch axis over a ('data',) mesh —
-    # XLA partitions the whole compiled program (single-device agreement is
-    # covered by tests/test_train_parallel.py; sharded generate end-to-end
-    # by tests/test_generate_cli.py). The Pallas fused-attention kernel has
-    # no SPMD partitioning rule, so sharded runs pin fused_attention=False
-    # (single-device runs keep the TPU auto-default).
+    # data-parallel synthesis: shard the batch axis over a ('data',) mesh
+    # and run synthesize under shard_map — inside each shard the program is
+    # single-device, so the Pallas fused-attention kernel is legal (it has
+    # no GSPMD partitioning rule) and keeps its TPU auto-default. The z
+    # noise is drawn once globally and sharded with the batch, so the same
+    # seed yields the same output at any mesh size (single-device
+    # agreement: tests/test_generate_cli.py, tests/test_train_parallel.py).
     shard = None
-    fused_attention = None
+    mesh = None
     if args.mesh_data != 1:
         from gradtts_tpu.parallel.mesh import (
             batch_sharding, make_mesh, replicated)
@@ -116,19 +117,25 @@ def main(argv=None):
                              f'by data-mesh size {n_data}')
         params = jax.device_put(params, replicated(mesh))
         shard = batch_sharding(mesh)
-        fused_attention = False
 
     @functools.lru_cache(maxsize=None)
-    def synth_fn(y_budget):
-        @jax.jit
-        def fn(params, x, x_lengths, key, spk):
+    def synth_fn(y_budget, has_spk):
+        def fn(params, x, x_lengths, key, spk, noise):
             return synthesize(model, params, x, x_lengths,
                               n_timesteps=args.timesteps,
                               y_max_length=y_budget, key=key,
                               temperature=args.temperature, spk=spk,
-                              sampler=args.sampler,
-                              fused_attention=fused_attention)
-        return fn
+                              sampler=args.sampler, noise=noise)
+        if mesh is None:
+            return jax.jit(fn)
+        from jax.sharding import PartitionSpec as P
+        b = P('data')
+        spk_spec = b if has_spk else P()
+        mapped = jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(), b, b, P(), spk_spec, b),
+            out_specs=b)
+        return jax.jit(mapped)
 
     from scipy.io import wavfile
     from tqdm import tqdm
@@ -146,11 +153,18 @@ def main(argv=None):
         y_budget += (-y_budget) % 4
         spk = jnp.asarray(batch['spk']) if 'spk' in batch else None
         bx, bl = jnp.asarray(batch['x']), jnp.asarray(batch['x_lengths'])
+        # one global noise draw, sharded with the batch: same seed -> same
+        # output at any mesh size
+        sub, z_key = jax.random.split(sub)
+        noise = jax.random.normal(
+            z_key, (args.batch_size, y_budget, model.n_feats), jnp.float32)
         if shard is not None:
             bx = jax.device_put(bx, shard(bx))
             bl = jax.device_put(bl, shard(bl))
+            noise = jax.device_put(noise, shard(noise))
             spk = jax.device_put(spk, shard(spk)) if spk is not None else None
-        res = synth_fn(y_budget)(params, bx, bl, sub, spk)
+        res = synth_fn(y_budget, spk is not None)(
+            params, bx, bl, sub, spk, noise)
         out_dir = os.path.join(args.output_dir, str(i))
         os.makedirs(out_dir, exist_ok=True)
         for j in range(n_real):

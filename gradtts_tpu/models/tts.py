@@ -145,7 +145,8 @@ class SynthesisResult(NamedTuple):
 def synthesize(model: GradTTS, params, x, x_lengths, n_timesteps,
                y_max_length: int, key, temperature=1.0, stoc=False,
                spk=None, length_scale=1.0, sampler: str = 'euler',
-               fused_attention: Optional[bool] = None) -> SynthesisResult:
+               fused_attention: Optional[bool] = None,
+               noise=None) -> SynthesisResult:
     """Text -> mel synthesis (parity: tts.py:54-108).
 
     ``y_max_length`` is a static padded frame budget (a bucket boundary,
@@ -161,6 +162,12 @@ def synthesize(model: GradTTS, params, x, x_lengths, n_timesteps,
     the U-Net (ops/pallas/linear_attention.py). Default (None) enables it
     on TPU backends; synthesis is inference-only so the kernel's
     reverse-mode-only custom_vjp is irrelevant here.
+
+    ``noise``: optionally a pre-drawn standard-normal tensor
+    [B, y_max_length, n_feats] used instead of drawing from ``key`` — lets
+    a data-parallel caller draw one global noise tensor and shard it, so
+    the same seed yields the same output at ANY mesh size (used by the
+    shard_map path in cli/generate.py).
     """
     if fused_attention is None:
         from gradtts_tpu.ops.pallas.linear_attention import _on_tpu
@@ -181,7 +188,9 @@ def synthesize(model: GradTTS, params, x, x_lengths, n_timesteps,
                       preferred_element_type=jnp.float32).astype(mu_x.dtype)
 
     key, z_key, s_key = jax.random.split(key, 3)
-    z = mu_y + jax.random.normal(z_key, mu_y.shape, mu_y.dtype) / temperature
+    if noise is None:
+        noise = jax.random.normal(z_key, mu_y.shape, mu_y.dtype)
+    z = mu_y + noise.astype(mu_y.dtype) / temperature
 
     def estimator_fn(x_t, mask2d, mu, t, s):
         return model.apply(params, x_t, mask2d, mu, t, s,

@@ -94,3 +94,51 @@ def test_generate_sharded_covers_whole_split(dataset_and_ckpt, tmp_path):
     outputs = _run_generate(str(tmp_path / 'out_sharded'), filelist, ckpt,
                             extra=['--mesh-data', '2'])
     assert len(outputs) == n_items
+
+
+def test_sharded_synthesize_with_fused_attention_matches_single_device():
+    """shard_map'd synthesis over an 8-device ('data',) mesh WITH the
+    Pallas fused-attention kernel enabled (interpret mode on CPU) agrees
+    with the single-device fused run — the kernel is legal per-shard under
+    shard_map (it has no GSPMD partitioning rule), and the externally
+    drawn, batch-sharded noise makes the output mesh-size-invariant."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from gradtts_tpu.models import GradTTS, synthesize
+    from gradtts_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+
+    cfg = get_config('ljspeech', **TINY)
+    model = GradTTS.from_config(cfg)
+    B, TX, Y = 8, 12, 64
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(1, cfg.n_vocab, (B, TX)), jnp.int32)
+    xl = jnp.full((B,), TX, jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x, xl,
+                        jnp.zeros((B, 8, cfg.data.n_feats)),
+                        jnp.full((B,), 8, jnp.int32), None)
+    key = jax.random.PRNGKey(1)
+    noise = jax.random.normal(key, (B, Y, cfg.data.n_feats), jnp.float32)
+
+    def fn(params, x, xl, key, noise):
+        return synthesize(model, params, x, xl, n_timesteps=2,
+                          y_max_length=Y, key=key, noise=noise,
+                          fused_attention=True)
+
+    single = fn(params, x, xl, key, noise)
+
+    mesh = make_mesh(8, 1)
+    shard = batch_sharding(mesh)
+    mapped = jax.jit(jax.shard_map(
+        fn, mesh=mesh, in_specs=(P(), P('data'), P('data'), P(), P('data')),
+        out_specs=P('data')))
+    sharded = mapped(
+        jax.device_put(params, replicated(mesh)),
+        jax.device_put(x, shard(x)), jax.device_put(xl, shard(xl)),
+        key, jax.device_put(noise, shard(noise)))
+
+    np.testing.assert_allclose(np.asarray(sharded.decoder_outputs),
+                               np.asarray(single.decoder_outputs),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(sharded.y_lengths),
+                                  np.asarray(single.y_lengths))
