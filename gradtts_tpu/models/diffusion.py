@@ -361,7 +361,13 @@ class LinearAttention(nn.Module):
                 x, wf[:, :hidden], wf[:, hidden:2 * hidden],
                 wf[:, 2 * hidden:], w_out[0, 0], b_out, rezero_g,
                 self.dim_head, phases)
-        assert phases == 1, 'jnp path expects unfolded input'
+        if phases == 2:
+            # frequency-folded jnp path: keep the phase dim explicit so
+            # every tensor stays 128-lane-minor (the reshape-relabel
+            # alternative halves the lane dim and costs relayout copies —
+            # this path serves training's backward and the likelihood
+            # engine's jvp, where the Pallas kernel can't)
+            return self._jnp_phased(x, w_qkv, w_out, b_out, rezero_g)
         w = w_qkv[0, 0].astype(self.dtype)
         q = jnp.einsum('bftc,cd->bftd', x, w[:, :hidden])
         k = jnp.einsum('bftc,cd->bftd', x, w[:, hidden:2 * hidden])
@@ -394,6 +400,37 @@ class LinearAttention(nn.Module):
             return y * rezero_g.astype(x.dtype) + x
         return y
 
+    def _jnp_phased(self, x, w_qkv, w_out, b_out, rezero_g):
+        """Folded-layout jnp attention: same math as the unfolded path with
+        positions re-labelled (f, t, phase); the phase dim is a free
+        minor-split of the channel dim, so no relayout ever happens and
+        every elementwise/contraction op keeps the 128-lane minor dim."""
+        hidden = self.heads * self.dim_head
+        b, f2, t, c2 = x.shape
+        cin = c2 // 2
+        xr = x.reshape(b, f2, t, 2, cin)
+        w = w_qkv[0, 0].astype(self.dtype)
+        q = jnp.einsum('bftpc,cd->bftpd', xr, w[:, :hidden])
+        k = jnp.einsum('bftpc,cd->bftpd', xr, w[:, hidden:2 * hidden])
+        v = jnp.einsum('bftpc,cd->bftpd', xr, w[:, 2 * hidden:])
+        k = k.astype(jnp.float32)
+        m = jax.lax.stop_gradient(jnp.max(k, axis=(1, 2, 3), keepdims=True))
+        ek = jnp.exp(k - m).astype(self.dtype)
+        den = jnp.sum(ek.astype(jnp.float32), axis=(1, 2, 3))   # [B, HD]
+        context = jnp.einsum('bftpd,bftpe->bde', ek, v,
+                             preferred_element_type=jnp.float32)
+        head = jnp.arange(hidden) // self.dim_head
+        block_diag = (head[:, None] == head[None, :]).astype(jnp.float32)
+        context = context * block_diag / den[:, :, None]
+        out = jnp.einsum('bde,bftpd->bftpe', context.astype(self.dtype), q,
+                         preferred_element_type=jnp.float32)
+        y = jnp.einsum('bftpe,ec->bftpc', out.astype(self.dtype),
+                       w_out[0, 0].astype(self.dtype))
+        y = (y + b_out.astype(self.dtype)).reshape(b, f2, t, c2)
+        if rezero_g is not None:
+            return y * rezero_g.astype(x.dtype) + x
+        return y
+
 
 class Rezero(nn.Module):
     """Residual linear-attention block scaled by a zero-init'd scalar
@@ -405,24 +442,16 @@ class Rezero(nn.Module):
     @nn.compact
     def __call__(self, x, fused: bool = False, fold: bool = False):
         g = self.param('g', nn.initializers.zeros, (1,))
-        if fold and fused:
-            # the Pallas kernel handles the folded layout natively
-            # (block-diagonal projections, phase-folded context) — no
-            # lane-halving reshape at the HLO level
-            return LinearAttention(self.dim, dtype=self.dtype,
-                                   name='fn')(x, rezero_g=g, fused=True,
-                                              phases=2)
         if fold:
             # Linear attention sums softmax(k) v over ALL (F, T) positions
-            # — position-permutation-invariant — so the folded layout
-            # [B, F2, T, (phase, c)] is just a position re-labelling: a
-            # free contiguous reshape exposes it as [B, F2, 2T, c] and the
-            # unfolded attention applies unchanged.
-            b, f2, t, c2 = x.shape
-            xr = x.reshape(b, f2, 2 * t, c2 // 2)
-            y = LinearAttention(self.dim, dtype=self.dtype,
-                                name='fn')(xr, rezero_g=g, fused=fused)
-            return y.reshape(b, f2, t, c2)
+            # — position-permutation-invariant — so the folded layout is
+            # just a position re-labelling. Both backends handle it
+            # natively (the Pallas kernel via block-diagonal projections,
+            # the jnp path via an explicit phase dim) with no lane-halving
+            # reshape at the HLO level.
+            return LinearAttention(self.dim, dtype=self.dtype,
+                                   name='fn')(x, rezero_g=g, fused=fused,
+                                              phases=2)
         return LinearAttention(self.dim, dtype=self.dtype,
                                name='fn')(x, rezero_g=g, fused=fused)
 
