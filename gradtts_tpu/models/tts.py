@@ -232,7 +232,8 @@ class LossResult(NamedTuple):
 def compute_loss(model: GradTTS, params, key, x, x_lengths, y, y_lengths,
                  spk=None, out_size: Optional[int] = None,
                  train: Optional[bool] = None, dropout_key=None,
-                 remat: bool = False) -> LossResult:
+                 remat: bool = False,
+                 fused_attention: bool = False) -> LossResult:
     """Duration + prior + diffusion losses (parity: tts.py:110-194).
 
     The reference's per-item Python crop loop (tts.py:159-181) is replaced
@@ -281,7 +282,9 @@ def compute_loss(model: GradTTS, params, key, x, x_lengths, y, y_lengths,
 
     def estimator_fn(x_t, mask2d, mu, t, s):
         return model.apply(params, x_t, mask2d, mu, t, s,
-                           spk_is_embedded=True, method=GradTTS.estimate)
+                           spk_is_embedded=True,
+                           fused_attention=fused_attention,
+                           method=GradTTS.estimate)
 
     if remat:
         estimator_fn = jax.checkpoint(estimator_fn)
