@@ -29,6 +29,7 @@ class ConvReluNorm(nn.Module):
     kernel_size: int = 5
     n_layers: int = 3
     p_dropout: float = 0.5
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, x_mask, train: bool = False):
@@ -36,13 +37,14 @@ class ConvReluNorm(nn.Module):
         x_org = x
         for i in range(self.n_layers):
             x = conv1d(self.hidden_channels, self.kernel_size,
-                       name=f'conv_layers_{i}')(x * x_mask)
+                       name=f'conv_layers_{i}', dtype=self.dtype)(x * x_mask)
             x = ChannelLayerNorm(self.hidden_channels,
                                  name=f'norm_layers_{i}')(x)
             x = nn.relu(x)
             x = nn.Dropout(self.p_dropout, deterministic=not train)(x)
         x = x_org + conv1d(self.out_channels, 1, name='proj',
-                           kernel_init=nn.initializers.zeros)(x)
+                           kernel_init=nn.initializers.zeros,
+                           dtype=self.dtype)(x)
         return x * x_mask
 
 
@@ -105,6 +107,7 @@ class MultiHeadAttention(nn.Module):
     n_heads: int
     window_size: Optional[int] = None
     p_dropout: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, attn_mask=None, train: bool = False):
@@ -113,9 +116,12 @@ class MultiHeadAttention(nn.Module):
         h = self.n_heads
         d = self.channels // h
         xavier = nn.initializers.xavier_uniform()
-        q = nn.Dense(self.channels, name='conv_q', kernel_init=xavier)(x)
-        k = nn.Dense(self.channels, name='conv_k', kernel_init=xavier)(x)
-        v = nn.Dense(self.channels, name='conv_v', kernel_init=xavier)(x)
+        q = nn.Dense(self.channels, name='conv_q', kernel_init=xavier,
+                     dtype=self.dtype)(x)
+        k = nn.Dense(self.channels, name='conv_k', kernel_init=xavier,
+                     dtype=self.dtype)(x)
+        v = nn.Dense(self.channels, name='conv_v', kernel_init=xavier,
+                     dtype=self.dtype)(x)
 
         q = q.reshape(b, t, h, d).transpose(0, 2, 1, 3)  # [B, H, T, D]
         k = k.reshape(b, t, h, d).transpose(0, 2, 1, 3)
@@ -136,7 +142,8 @@ class MultiHeadAttention(nn.Module):
                 nn.initializers.normal(rel_stddev),
                 (1, 2 * self.window_size + 1, d))
             key_rel = _get_relative_embeddings(emb_rel_k, t, self.window_size)
-            rel_logits = jnp.einsum('bhtd,nmd->bhtm', q, key_rel,
+            rel_logits = jnp.einsum('bhtd,nmd->bhtm', q,
+                                    key_rel.astype(q.dtype),
                                     preferred_element_type=jnp.float32)
             scores = scores + _relative_to_absolute(rel_logits) / math.sqrt(d)
 
@@ -144,16 +151,19 @@ class MultiHeadAttention(nn.Module):
             scores = jnp.where(attn_mask == 0, -1e4, scores)
         p_attn = nn.softmax(scores, axis=-1)
         p_attn = nn.Dropout(self.p_dropout, deterministic=not train)(p_attn)
-        output = jnp.einsum('bhts,bhsd->bhtd', p_attn, v,
+        output = jnp.einsum('bhts,bhsd->bhtd', p_attn.astype(v.dtype), v,
                             preferred_element_type=jnp.float32)
         if self.window_size is not None:
             rel_weights = _absolute_to_relative(p_attn)
             value_rel = _get_relative_embeddings(emb_rel_v, t, self.window_size)
-            output = output + jnp.einsum('bhtm,nmd->bhtd', rel_weights,
-                                         value_rel,
+            output = output + jnp.einsum('bhtm,nmd->bhtd',
+                                         rel_weights.astype(v.dtype),
+                                         value_rel.astype(v.dtype),
                                          preferred_element_type=jnp.float32)
+        output = output.astype(v.dtype)
         output = output.transpose(0, 2, 1, 3).reshape(b, t, self.channels)
-        return nn.Dense(self.out_channels, name='conv_o')(output)
+        return nn.Dense(self.out_channels, name='conv_o',
+                        dtype=self.dtype)(output)
 
 
 class FFN(nn.Module):
@@ -162,13 +172,16 @@ class FFN(nn.Module):
     filter_channels: int
     kernel_size: int
     p_dropout: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, x_mask, train: bool = False):
-        x = conv1d(self.filter_channels, self.kernel_size, name='conv_1')(x * x_mask)
+        x = conv1d(self.filter_channels, self.kernel_size, name='conv_1',
+                   dtype=self.dtype)(x * x_mask)
         x = nn.relu(x)
         x = nn.Dropout(self.p_dropout, deterministic=not train)(x)
-        x = conv1d(self.out_channels, self.kernel_size, name='conv_2')(x * x_mask)
+        x = conv1d(self.out_channels, self.kernel_size, name='conv_2',
+                   dtype=self.dtype)(x * x_mask)
         return x * x_mask
 
 
@@ -182,6 +195,7 @@ class Encoder(nn.Module):
     kernel_size: int = 1
     p_dropout: float = 0.0
     window_size: Optional[int] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, x_mask, train: bool = False):
@@ -192,12 +206,14 @@ class Encoder(nn.Module):
             y = MultiHeadAttention(
                 self.hidden_channels, self.hidden_channels, self.n_heads,
                 window_size=self.window_size, p_dropout=self.p_dropout,
+                dtype=self.dtype,
                 name=f'attn_layers_{i}')(x, attn_mask, train=train)
             y = nn.Dropout(self.p_dropout, deterministic=not train)(y)
             x = ChannelLayerNorm(self.hidden_channels,
                                  name=f'norm_layers_1_{i}')(x + y)
             y = FFN(self.hidden_channels, self.filter_channels,
                     self.kernel_size, p_dropout=self.p_dropout,
+                    dtype=self.dtype,
                     name=f'ffn_layers_{i}')(x, x_mask, train=train)
             y = nn.Dropout(self.p_dropout, deterministic=not train)(y)
             x = ChannelLayerNorm(self.hidden_channels,
@@ -236,10 +252,12 @@ class TextEncoder(nn.Module):
             self.n_vocab, self.n_channels, name='emb',
             embedding_init=nn.initializers.normal(self.n_channels ** -0.5))
         h = emb(x) * math.sqrt(self.n_channels)  # [B, T, C]
+        h = h.astype(self.dtype)
         x_mask = sequence_mask(x_lengths, x.shape[1])[..., None].astype(h.dtype)
 
         h = ConvReluNorm(self.n_channels, self.n_channels,
                          kernel_size=5, n_layers=3, p_dropout=0.5,
+                         dtype=self.dtype,
                          name='prenet')(h, x_mask, train=train)
         if self.n_spks > 1 and spk is not None:
             spk_tiled = jnp.broadcast_to(
@@ -248,8 +266,13 @@ class TextEncoder(nn.Module):
         enc_channels = self.n_channels + (self.spk_emb_dim if self.n_spks > 1 else 0)
         h = Encoder(enc_channels, self.filter_channels, self.n_heads,
                     self.n_layers, self.kernel_size, self.p_dropout,
-                    window_size=self.window_size,
+                    window_size=self.window_size, dtype=self.dtype,
                     name='encoder')(h, x_mask, train=train)
+        # output heads in f32: mu_x feeds the Gaussian prior / MAS grid and
+        # logw feeds exp() durations — keep their small projections full
+        # precision regardless of the trunk compute dtype
+        h = h.astype(jnp.float32)
+        x_mask = x_mask.astype(jnp.float32)
         mu = conv1d(self.n_feats, 1, name='proj_m')(h) * x_mask
 
         h_dp = jax.lax.stop_gradient(h)
