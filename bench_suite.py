@@ -181,7 +181,7 @@ def bench_train_step(B=16):
     per_call = max((tk - t1) / 7, 1e-9)
     emit('train_step_tedlium_spk_mas', B / per_call, 'utt/s/chip',
          f'B{B} TY{TY} crop {cfg.out_size} full step: 3 losses + on-device '
-         f'MAS + per-submodule clip + adam, bf16 unet')
+         f'MAS + per-submodule clip + adam, bf16 model')
 
 
 def bench_likelihood(B=8, TX=128, TY=512, n_euler=10):
