@@ -198,7 +198,7 @@ def bench_likelihood(B=8, TX=128, TY=512, n_euler=10):
 
     def fn(params, key, x, x_lengths, y, y_lengths):
         return score_batch(model, params, key, x, x_lengths, y, y_lengths,
-                           n_euler=n_euler).sum()
+                           n_euler=n_euler).score.sum()
 
     jfn = jax.jit(fn)
     per_call = timed_per_call(

@@ -31,7 +31,17 @@ class LikelihoodResult(NamedTuple):
     prior_logp: jnp.ndarray   # [B]
     delta_logp: jnp.ndarray   # [B]
     z: jnp.ndarray            # latent at t = T
-    nfe: jnp.ndarray          # scalar, number of drift evaluations
+    # Number of drift (score-network) evaluations: == euler for the
+    # fixed-step integrator, 7 per attempted step for Dormand-Prince.
+    nfe: jnp.ndarray
+    # True iff the integrator reached t1. Always True for fixed-step
+    # Euler; for the adaptive integrator False means the while_loop hit
+    # ``max_steps`` drift evaluations first, and score/delta_logp are
+    # the UNCONVERGED partial integral — consumers must check this (the
+    # reference's scipy.solve_ivp raises on failure, likelihood.py:117;
+    # jit-compiled code can't raise, so we flag instead and the nbest
+    # scorer raises on the host).
+    converged: jnp.ndarray
 
 
 def _masked(x, sde):
@@ -54,11 +64,14 @@ def _drift_and_div(sde, score_fn):
 
 
 def get_likelihood_fn(sde, score_fn: Callable, hutchinson_type='Rademacher',
-                      rtol=1e-5, atol=1e-5, eps=1e-5, euler=0):
+                      rtol=1e-5, atol=1e-5, eps=1e-5, euler=0,
+                      max_steps=10_000):
     """Build likelihood_fn(key, data) -> LikelihoodResult.
 
     euler > 0 selects the fixed-step midpoint Euler integrator with that
-    many steps; euler == 0 selects adaptive Dormand-Prince 5(4).
+    many steps; euler == 0 selects adaptive Dormand-Prince 5(4), which
+    stops after ``max_steps`` drift evaluations and reports
+    ``converged=False`` if the tolerance was not reached by then.
     """
     f = _drift_and_div(sde, score_fn)
 
@@ -88,13 +101,16 @@ def get_likelihood_fn(sde, score_fn: Callable, hutchinson_type='Rademacher',
                 step, (data, jnp.zeros((B,), data.dtype)),
                 jnp.arange(euler, dtype=data.dtype))
             nfe = jnp.asarray(euler)
+            converged = jnp.asarray(True)
         else:
-            z, delta_logp, nfe = _dopri54(f, data, epsilon, t0=eps,
-                                          t1=sde.T, rtol=rtol, atol=atol)
+            z, delta_logp, nfe, converged = _dopri54(
+                f, data, epsilon, t0=eps, t1=sde.T, rtol=rtol, atol=atol,
+                max_steps=max_steps)
 
         prior_logp = sde.prior_logp(z)
         score = -(prior_logp + delta_logp)
-        return LikelihoodResult(score, prior_logp, delta_logp, z, nfe)
+        return LikelihoodResult(score, prior_logp, delta_logp, z, nfe,
+                                converged)
 
     return likelihood_fn
 
@@ -119,7 +135,9 @@ _DP_B4 = [5179 / 57600, 0, 7571 / 16695, 393 / 640, -92097 / 339200,
 def _dopri54(f, x0, epsilon, t0, t1, rtol, atol, max_steps=10_000):
     """Integrate (x, delta_logp) from t0 to t1. The divergence rides along
     as an extra state coordinate, like the reference's concatenated flat
-    vector (likelihood.py:96-97)."""
+    vector (likelihood.py:96-97). Returns (x, delta_logp, nfe, converged);
+    converged is False when the loop exits via nfe >= max_steps with the
+    integration still short of t1."""
     B = x0.shape[0]
     dtype = x0.dtype
 
@@ -169,4 +187,4 @@ def _dopri54(f, x0, epsilon, t0, t1, rtol, atol, max_steps=10_000):
     state = (jnp.asarray(t0, dtype), x0, jnp.zeros((B,), dtype), h0,
              jnp.asarray(0), jnp.asarray(False))
     t, x, dlp, h, nfe, done = jax.lax.while_loop(cond, body, state)
-    return x, dlp, nfe
+    return x, dlp, nfe, done

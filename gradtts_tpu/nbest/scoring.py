@@ -42,15 +42,18 @@ def score_batch(model: GradTTS, params, key, x, x_lengths, y, y_lengths,
                 spk=None, n_euler: int = 10, rtol=1e-3, atol=1e-3):
     """Log-likelihood score of real mels ``y`` under the text-conditional
     score model, one jit-able program (parity: rescore(),
-    n_best_list_experiment.py:71-89). Returns [B] scores
-    (-(prior_logp + delta_logp), the reference's 'bpd' scalar)."""
+    n_best_list_experiment.py:71-89). Returns the full
+    :class:`LikelihoodResult`; ``.score`` is the [B] scores
+    (-(prior_logp + delta_logp), the reference's 'bpd' scalar) and
+    ``.converged`` must be checked by adaptive-integrator (n_euler=0)
+    consumers before trusting them."""
     score_fn, mu_y, _spk_vec, y_mask = get_score_fn(
         model, params, x, x_lengths, y, y_lengths, spk)
     sde = SpeechSDE(beta_min=model.beta_min, beta_max=model.beta_max,
                     N=int(model.pe_scale), mu=mu_y, mask=y_mask)
     likelihood_fn = get_likelihood_fn(sde, score_fn, rtol=rtol, atol=atol,
                                       euler=n_euler)
-    return likelihood_fn(key, y).score
+    return likelihood_fn(key, y)
 
 
 class NBestScorer:
@@ -71,27 +74,40 @@ class NBestScorer:
     @functools.lru_cache(maxsize=None)
     def _jitted(self, has_spk: bool):
         def fn(params, key, x, x_lengths, y, y_lengths, spk):
-            return score_batch(self.model, params, key, x, x_lengths, y,
-                               y_lengths, spk, n_euler=self.n_euler,
-                               rtol=self.rtol, atol=self.atol)
+            res = score_batch(self.model, params, key, x, x_lengths, y,
+                              y_lengths, spk, n_euler=self.n_euler,
+                              rtol=self.rtol, atol=self.atol)
+            return res.score, res.converged
 
         def fn_nospk(params, key, x, x_lengths, y, y_lengths):
-            return score_batch(self.model, params, key, x, x_lengths, y,
-                               y_lengths, None, n_euler=self.n_euler,
-                               rtol=self.rtol, atol=self.atol)
+            res = score_batch(self.model, params, key, x, x_lengths, y,
+                              y_lengths, None, n_euler=self.n_euler,
+                              rtol=self.rtol, atol=self.atol)
+            return res.score, res.converged
 
         return jax.jit(fn) if has_spk else jax.jit(fn_nospk)
 
     def score_items(self, items: List[dict], key) -> np.ndarray:
-        """items: list of {'x': ids, 'y': mel [T,F] (, 'spk')} -> [B] scores."""
+        """items: list of {'x': ids, 'y': mel [T,F] (, 'spk')} -> [B] scores.
+
+        Raises RuntimeError if the adaptive integrator (n_euler=0) did not
+        converge within its step budget — unconverged likelihoods must not
+        be silently written as scores (the reference's scipy solver raises
+        on failure, n_best/likelihood/likelihood.py:117)."""
         batch = self.collate(items)
         args = (self.params, key, jnp.asarray(batch['x']),
                 jnp.asarray(batch['x_lengths']), jnp.asarray(batch['y']),
                 jnp.asarray(batch['y_lengths']))
         if 'spk' in batch:
-            out = self._jitted(True)(*args, jnp.asarray(batch['spk']))
+            out, converged = self._jitted(True)(*args,
+                                               jnp.asarray(batch['spk']))
         else:
-            out = self._jitted(False)(*args)
+            out, converged = self._jitted(False)(*args)
+        if not bool(np.asarray(converged)):
+            raise RuntimeError(
+                'likelihood ODE integration did not converge within '
+                'max_steps; scores would be silently wrong — raise rtol/'
+                'atol, use a fixed n_euler, or raise max_steps')
         return np.asarray(out)
 
 

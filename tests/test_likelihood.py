@@ -65,6 +65,25 @@ def test_speech_sde_analytic_likelihood():
     np.testing.assert_allclose(np.array(res2.score), np.array(res.score),
                                rtol=1e-3, atol=5e-2)
     assert int(res2.nfe) > 0
+    assert bool(res.converged) and bool(res2.converged)
+
+
+def test_adaptive_flags_nonconvergence():
+    """A max_steps budget too small to reach t1 must yield converged=False
+    (the reference's scipy solver raises on failure, likelihood.py:117 —
+    jitted code flags instead; consumers raise on the host)."""
+    sde = VPSDE(beta_min=0.05, beta_max=20.0, N=1000)
+    rng = np.random.default_rng(2)
+    data = rng.standard_normal((B, T, F)).astype(np.float32)
+
+    def score_fn(x, t):
+        return -x
+
+    fn = get_likelihood_fn(sde, score_fn, euler=0, rtol=1e-8, atol=1e-8,
+                           max_steps=14)  # two DP attempts, then cut off
+    res = jax.jit(fn)(jax.random.PRNGKey(0), jnp.array(data))
+    assert not bool(res.converged)
+    assert int(res.nfe) >= 14
 
 
 def test_euler_matches_reference_torch_engine():
@@ -148,7 +167,8 @@ def _run_with_fixed_eps(sde, score_fn, data, epsilon, euler):
         jnp.arange(euler, dtype=data.dtype))
     prior_logp = sde.prior_logp(z)
     return LikelihoodResult(-(prior_logp + delta_logp), prior_logp,
-                            delta_logp, z, jnp.asarray(euler))
+                            delta_logp, z, jnp.asarray(euler),
+                            jnp.asarray(True))
 
 
 def test_other_sdes_smoke():

@@ -230,6 +230,27 @@ def test_scores_differ_across_hypotheses_and_compile(tiny_scored):
     assert mat[0, 0] != mat[0, 1]
 
 
+def test_unconverged_adaptive_scoring_raises(tiny_scored):
+    """The adaptive integrator (n_euler=0) must not silently write
+    unconverged likelihoods (reference scipy raises, likelihood.py:117)."""
+    from unittest import mock
+    import gradtts_tpu.nbest.scoring as scoring_mod
+    from gradtts_tpu.nbest import NBestScorer
+    import jax
+    scorer, ds, _n_best, _out, _n = tiny_scored
+    orig = scoring_mod.get_likelihood_fn
+    strict = NBestScorer(scorer.model, scorer.params, n_euler=0,
+                         batch_size=4, x_buckets=(16,), y_buckets=(16,))
+    with mock.patch.object(
+            scoring_mod, 'get_likelihood_fn',
+            lambda sde, fn, **kw: orig(sde, fn, **{**kw, 'rtol': 1e-10,
+                                                   'atol': 1e-10,
+                                                   'max_steps': 14})):
+        items = [{'x': ds.get_text('ab cd'), 'y': ds[0]['y']}]
+        with pytest.raises(RuntimeError, match='did not converge'):
+            strict.score_items(items, jax.random.PRNGKey(0))
+
+
 def test_score_n_best_sharding(tiny_scored, tmp_path):
     from gradtts_tpu.nbest import score_n_best
     scorer, ds, n_best, _out, _n = tiny_scored
