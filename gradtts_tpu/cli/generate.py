@@ -129,10 +129,20 @@ def main(argv=None):
         if mesh is None:
             return jax.jit(fn)
         from jax.sharding import PartitionSpec as P
+
+        def fn_sharded(params, x, x_lengths, key, spk, noise):
+            # The key arrives replicated (in_spec P()); fold the shard index
+            # in so any stochastic path drawing from it (future stoc=True
+            # etc.) gets distinct per-shard noise. The CLI samplers are
+            # deterministic given the pre-drawn batch-sharded z noise, so
+            # this preserves same-seed-any-mesh-size output agreement.
+            key = jax.random.fold_in(key, jax.lax.axis_index('data'))
+            return fn(params, x, x_lengths, key, spk, noise)
+
         b = P('data')
         spk_spec = b if has_spk else P()
         mapped = jax.shard_map(
-            fn, mesh=mesh,
+            fn_sharded, mesh=mesh,
             in_specs=(P(), b, b, P(), spk_spec, b),
             out_specs=b)
         return jax.jit(mapped)

@@ -151,14 +151,18 @@ class MultiHeadAttention(nn.Module):
             scores = jnp.where(attn_mask == 0, -1e4, scores)
         p_attn = nn.softmax(scores, axis=-1)
         p_attn = nn.Dropout(self.p_dropout, deterministic=not train)(p_attn)
-        output = jnp.einsum('bhts,bhsd->bhtd', p_attn.astype(v.dtype), v,
+        # Keep the f32 softmax probabilities (and rel-pos weights/values)
+        # in f32 through the value contractions: the encoder runs once per
+        # synthesis vs 10+ U-Net calls, so the f32 matmul cost is
+        # negligible while the numerics stay close to the f32 torch
+        # reference even when the compute dtype is bf16.
+        output = jnp.einsum('bhts,bhsd->bhtd', p_attn, v,
                             preferred_element_type=jnp.float32)
         if self.window_size is not None:
             rel_weights = _absolute_to_relative(p_attn)
             value_rel = _get_relative_embeddings(emb_rel_v, t, self.window_size)
             output = output + jnp.einsum('bhtm,nmd->bhtd',
-                                         rel_weights.astype(v.dtype),
-                                         value_rel.astype(v.dtype),
+                                         rel_weights, value_rel,
                                          preferred_element_type=jnp.float32)
         output = output.astype(v.dtype)
         output = output.transpose(0, 2, 1, 3).reshape(b, t, self.channels)

@@ -44,6 +44,20 @@ def test_estimator_bf16_close_to_f32(models_and_params):
     assert rel < 0.12, f'bf16 deviates {rel:.3f} of output std'
 
 
+def test_encoder_bf16_close_to_f32(models_and_params):
+    """The text encoder under bf16 compute must track the f32 path: the
+    softmax probabilities and rel-pos weights stay f32 through the value
+    contractions (advisor round 3), so only the projections/convs carry
+    bf16 rounding."""
+    m32, m16, params, x, xl, _y, _yl = models_and_params
+    mu32, logw32, _, _ = m32.apply(params, x, xl, method=GradTTS.encode)
+    mu16, logw16, _, _ = m16.apply(params, x, xl, method=GradTTS.encode)
+    for a, b in ((mu32, mu16), (logw32, logw16)):
+        scale = float(jnp.std(a)) + 1e-6
+        rel = float(jnp.max(jnp.abs(a - b))) / scale
+        assert rel < 0.08, f'bf16 encoder deviates {rel:.3f} of output std'
+
+
 def test_synthesize_bf16_finite_and_close(models_and_params):
     m32, m16, params, x, xl, _y, _yl = models_and_params
     key = jax.random.PRNGKey(1)
