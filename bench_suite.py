@@ -217,11 +217,13 @@ ALL = {
     'train': bench_train_step,
     'likelihood': bench_likelihood,
     # supplementary (beyond-reference capability): the multistep
-    # exponential integrator at 4 steps matches >=10-step Euler ODE error
-    # (tests/test_dpm_sampler.py; solver-error-validated only — no trained
-    # checkpoint exists in this environment for an audio-fidelity check)
-    'dpm4': lambda: bench_mel_synthesis(
-        'ljspeech', 'mel_dpm_4step', n_steps=4, sampler='dpm'),
+    # exponential integrator (eps-prediction, log-SNR grid) at 8 steps
+    # beats 10-step Euler ODE error ON WEIGHTS TRAINED TO CONVERGENCE
+    # (tests/test_dpm_sampler.py::test_dpm_fidelity_on_trained_weights;
+    # the earlier 4-step claim held only for random weights and was
+    # retired in round 4 — see PERFORMANCE.md 'Sampler efficiency')
+    'dpm8': lambda: bench_mel_synthesis(
+        'ljspeech', 'mel_dpm_8step', n_steps=8, sampler='dpm'),
 }
 
 

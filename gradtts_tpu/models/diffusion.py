@@ -639,49 +639,76 @@ def reverse_diffusion(estimator_fn, z, mask, mu, n_timesteps,
 
 
 def reverse_diffusion_dpm(estimator_fn, z, mask, mu, n_timesteps,
-                          beta_min, beta_max, spk=None):
-    """Multistep exponential-integrator sampler (DPM-Solver-2M style) for
-    the Grad-TTS probability-flow ODE — a fast-sampling capability beyond
-    the reference's Euler-only sampler (diffusion.py:254-268).
+                          beta_min, beta_max, spk=None, t_min=0.02):
+    """Multistep exponential-integrator sampler (DPM-Solver-2M,
+    eps-prediction, uniform log-SNR grid) for the Grad-TTS
+    probability-flow ODE — a fast-sampling capability beyond the
+    reference's Euler-only sampler (diffusion.py:254-268).
 
-    The reverse ODE dx/dt = 0.5 beta(t) (mu - x) - 0.5 beta(t) s(x, t) is
-    semi-linear: with y = x - mu and the half-cumulative noise
-    zeta(t) = 0.5 * int_0^t beta, variation of constants gives the EXACT
-    relation over a step t -> r (r < t, integrating toward 0):
+    The forward marginal is x_t = mu + alpha_t (x0 - mu) + sigma_t eps
+    with alpha_t = e^{-zeta(t)}, zeta = 0.5 int beta, sigma_t^2 =
+    1 - alpha_t^2. In the log-SNR variable lambda = log(alpha/sigma) the
+    reverse ODE is semi-linear in the NOISE prediction
+    eps_hat = -sigma s  (s = score estimate):
 
-        y(r) = e^h y(t) + (e^h - 1) s(x(t), t)
-               + ((s_t - s_prev) / h_prev) (e^h - 1 - h)   [2nd order]
+        y(r) = (alpha_r / alpha_t) y(t) - sigma_r (e^h - 1) E~,
+        h = lambda_r - lambda_t > 0,  y = x - mu,
 
-    where h = zeta(t) - zeta(r) and the last term linearly extrapolates
-    the score in zeta-time from the previous evaluation (dropped on the
-    first step). Only the score term is approximated — the stiff linear
-    drift integrates exactly, which is what lets ~4 steps match ~10+ Euler
-    steps (see tests/test_dpm_sampler.py for the measured solver error).
+    where E~ linearly extrapolates eps_hat from the previous evaluation
+    ((1 + 1/2r) E_t - (1/2r) E_prev, r = h_prev/h; plain E_t on the first
+    step). Only the bounded noise prediction (|eps_hat| ~ 1) is
+    approximated — the stiff linear drift integrates exactly.
+
+    Round-4 design notes, selected empirically on weights TRAINED to
+    convergence (test_dpm_fidelity_on_trained_weights — the random-init
+    score field hides all of this):
+    - eps-prediction, NOT the x0-prediction (DPM-Solver++) form: x0-pred
+      divides the score error by alpha(1) ~ 7e-3 on the first step, which
+      measurably diverges (NaN at 4 steps) for any realistically accurate
+      net; the eps form keeps the extrapolated quantity O(1).
+    - uniform log-SNR spacing, NOT uniform t: equalizes per-step
+      integrated error; uniform-t at 4 steps loses to Euler on trained
+      weights, uniform-lambda wins.
+    - stop at ``t_min`` = 0.02 (sigma ~ 0.07, ~0.6 dB residual in
+      log-mel): the true score grows as 1/sigma^2 there while the trained
+      net is least accurate, so integrating deeper ADDS error at every
+      step count measured (4..50).
 
     Cost per step is identical to Euler (one estimator call); the sampler
     compiles to a single ``lax.scan``.
     """
-    ts = 1.0 - jnp.arange(n_timesteps + 1, dtype=z.dtype) / n_timesteps
+    dtype = z.dtype
+    # invert lambda(t) on a dense table to get the uniform-log-SNR grid
+    tt = jnp.linspace(jnp.asarray(t_min, dtype), 1.0, 2049)
+    zt = 0.5 * get_noise(tt, beta_min, beta_max, cumulative=True)
+    lam_tab = -zt - 0.5 * jnp.log(-jnp.expm1(-2.0 * zt))
+    lam_edges = jnp.linspace(lam_tab[-1], lam_tab[0], n_timesteps + 1)
+    ts = jnp.interp(lam_edges, lam_tab[::-1], tt[::-1])
     zetas = 0.5 * get_noise(ts, beta_min, beta_max, cumulative=True)
+    alphas = jnp.exp(-zetas)
+    sigmas = jnp.sqrt(-jnp.expm1(-2.0 * zetas))
+    hs = lam_edges[1:] - lam_edges[:-1]   # > 0, uniform
     xt = z * mask
 
     def step(carry, i):
-        xt, s_prev, h_prev = carry
-        t = ts[i] * jnp.ones((z.shape[0],), dtype=z.dtype)
+        xt, e_prev, h_prev = carry
+        t = ts[i] * jnp.ones((z.shape[0],), dtype=dtype)
         s_t = estimator_fn(xt, mask[..., 0], mu, t, spk)
-        h = zetas[i] - zetas[i + 1]           # > 0 (zeta decreases to 0)
-        eh = jnp.exp(h)
+        eps_t = -sigmas[i] * s_t              # bounded noise prediction
+        y = xt - mu
+        h = hs[i]
         first = (i == 0)
-        # 2nd-order correction, zeroed on the first step (no history)
-        safe_hp = jnp.where(first, 1.0, h_prev)
-        corr = jnp.where(first, 0.0, (eh - 1.0 - h) / safe_hp) \
-            * (s_t - s_prev)
-        xt_new = mu + eh * (xt - mu) + (eh - 1.0) * s_t + corr
-        return ((xt_new * mask).astype(xt.dtype), s_t, h), None
+        r = h_prev / h
+        e_ext = jnp.where(
+            first, eps_t,
+            (1.0 + 0.5 / r) * eps_t - (0.5 / r) * e_prev)
+        y_new = (alphas[i + 1] / alphas[i]) * y \
+            - sigmas[i + 1] * jnp.expm1(h) * e_ext
+        xt_new = mu + y_new
+        return ((xt_new * mask).astype(xt.dtype), eps_t, h), None
 
-    s0 = jnp.zeros_like(xt)
     (xt, _, _), _ = jax.lax.scan(
-        step, (xt, s0, jnp.asarray(1.0, z.dtype)),
+        step, (xt, jnp.zeros_like(xt), jnp.asarray(1.0, dtype)),
         jnp.arange(n_timesteps))
     return xt
 

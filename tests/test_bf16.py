@@ -74,6 +74,44 @@ def test_synthesize_bf16_finite_and_close(models_and_params):
     assert np.abs(d32 - d16).max() / scale < 0.25
 
 
+def test_train_trajectory_bf16_tracks_f32(models_and_params):
+    """Multi-step convergence check: 200 train steps from identical init
+    with identical PRNG streams — bf16 loss trajectories must track f32
+    (single-step grad closeness misses cumulative drift). The reference
+    trains f32 (train.py:79-119); the bf16 speedup is only claimable if
+    convergence is unharmed."""
+    from gradtts_tpu.train.state import (
+        init_state, make_optimizer, make_train_step,
+    )
+    m32, m16, params, x, xl, y, yl = models_and_params
+    batch = {'x': x, 'x_lengths': xl, 'y': y, 'y_lengths': yl}
+    n_steps = 200
+
+    def run(model):
+        opt = make_optimizer(1e-3)
+        state = init_state(params, opt)
+        step = jax.jit(make_train_step(model, opt, out_size=16))
+        losses = []
+        for i in range(n_steps):
+            state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
+            losses.append(float(metrics['loss/diffusion'])
+                          + float(metrics['loss/prior']))
+        return np.asarray(losses)
+
+    l32 = run(m32)
+    l16 = run(m16)
+    assert np.all(np.isfinite(l16))
+    # both must actually learn (trajectory decreasing), and track each
+    # other: same-window means agree within a few percent of the f32 scale
+    assert l32[-20:].mean() < l32[:20].mean()
+    assert l16[-20:].mean() < l16[:20].mean()
+    scale = np.abs(l32).mean() + 1e-6
+    traj_dev = np.abs(l32 - l16).mean() / scale
+    final_dev = abs(l32[-20:].mean() - l16[-20:].mean()) / scale
+    assert traj_dev < 0.05, f'bf16 trajectory deviates {traj_dev:.3f}'
+    assert final_dev < 0.05, f'bf16 final loss deviates {final_dev:.3f}'
+
+
 def test_train_step_bf16_grads(models_and_params):
     """Regression: the full train step (value_and_grad through the bf16
     U-Net incl. the lhs-dilated Upsample conv) must compile and produce

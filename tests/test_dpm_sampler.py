@@ -79,3 +79,75 @@ def test_synthesize_dpm_sampler(setup):
     d = np.asarray(res.decoder_outputs)
     assert d.shape == (B, 48, HP['n_feats'])
     assert np.all(np.isfinite(d))
+
+
+def test_dpm_fidelity_on_trained_weights():
+    """Graduate the DPM claim from random weights: train the tiny model to
+    convergence on a synthetic deterministic corpus (each token maps to a
+    fixed mel pattern held 4 frames), then check sampler fidelity against
+    a 400-step Euler ground truth on the LEARNED score field.
+
+    Round-4 finding this test pins down: the random-weights '4 DPM steps
+    beat 10 Euler steps' result does NOT survive trained weights (the
+    trained score is far stiffer near t=1); what holds — with the
+    eps-prediction/log-SNR-grid sampler — is ~6-8 DPM steps beating 10
+    Euler steps (exact crossover moves with training state) and DPM-10
+    beating Euler-10 by ~3-5x. PERFORMANCE.md's sampler table quotes
+    these trained-weights numbers."""
+    from gradtts_tpu.train.state import (
+        init_state, make_optimizer, make_train_step,
+    )
+    hp = dict(HP, n_vocab=20)
+    model = GradTTS(**hp)
+    F = hp['n_feats']
+    rng = np.random.default_rng(7)
+    codebook = rng.standard_normal((hp['n_vocab'], F)).astype(np.float32)
+    Bt, TX, DUR = 8, 8, 4
+    tokens = rng.integers(1, hp['n_vocab'], (Bt, TX))
+    mels = np.repeat(codebook[tokens], DUR, axis=1)  # [B, TX*DUR, F]
+    batch = {'x': jnp.asarray(tokens, jnp.int32),
+             'x_lengths': jnp.full((Bt,), TX, jnp.int32),
+             'y': jnp.asarray(mels),
+             'y_lengths': jnp.full((Bt,), TX * DUR, jnp.int32)}
+
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), batch['x'], batch['x_lengths'], batch['y'],
+        batch['y_lengths'], None)
+    opt = make_optimizer(1e-3)
+    state = init_state(params, opt)
+    step = jax.jit(make_train_step(model, opt, out_size=None))
+    first = last = None
+    for i in range(1500):
+        state, metrics = step(state, batch, jax.random.PRNGKey(1000 + i))
+        if first is None:
+            first = float(metrics['loss/prior'])
+        last = float(metrics['loss/prior'])
+    # convergence evidence: the encoder prior actually learned the corpus.
+    # The per-dim Gaussian NLL has a 0.5*log(2*pi) constant floor; measure
+    # the learnable excess above it.
+    floor = 0.5 * np.log(2 * np.pi)
+    assert last - floor < 0.3 * (first - floor), \
+        f'prior loss {first:.3f} -> {last:.3f} (floor {floor:.3f})'
+
+    trained = state.params
+    x, xl = batch['x'], batch['x_lengths']
+    budget = 48
+    noise = jnp.asarray(rng.standard_normal((Bt, budget, F)), jnp.float32)
+
+    def synth(n, sampler):
+        return np.asarray(synthesize(
+            model, trained, x, xl, n_timesteps=n, y_max_length=budget,
+            key=jax.random.PRNGKey(2), sampler=sampler,
+            noise=noise).decoder_outputs)
+
+    truth = synth(400, 'euler')
+    mae = lambda a: float(np.abs(a - truth).mean())
+    e10, e50 = mae(synth(10, 'euler')), mae(synth(50, 'euler'))
+    d8, d10 = mae(synth(8, 'dpm')), mae(synth(10, 'dpm'))
+    # trained-weights fidelity: 8 DPM steps out-integrate 10 Euler steps
+    # with margin (measured d8=0.042 vs e10=0.072; d6/d7 also beat e10
+    # here but with training-state-sensitive margins)
+    assert d8 < 0.8 * e10, f'dpm8={d8:.5f} euler10={e10:.5f}'
+    # and at matched steps DPM wins by a wide margin
+    assert d10 < 0.6 * e10, f'dpm10={d10:.5f} euler10={e10:.5f}'
+    assert e50 < e10  # sanity: more Euler steps converge toward truth
