@@ -33,6 +33,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Break-even framing for the ">=3x A100" north-star claim (BASELINE.md):
+# at the round-3 chip throughput of ~852 audio-s/s, the claim fails only
+# if real A100 torch Grad-TTS exceeds 852/3 = 284 audio-s/s — i.e. 7x
+# this estimate. The measured same-host CPU anchor
+# (tools/baseline_anchor.py: reference torch 1.16 audio-s/s on 2 CPUs)
+# bounds how implausible that is; see PERFORMANCE.md "Break-even analysis".
 A100_TORCH_EST_AUDIO_SEC_PER_SEC = 40.0
 
 B = 8           # batch of utterances — measured optimum on v5e: the batch

@@ -23,11 +23,13 @@ Mathematically identical to the jnp path (same normalized-after-contraction
 formulation); the kernel computes exp/denominators in f32 where the bf16
 jnp path rounds the exp tensor, so agreement is within bf16 tolerance.
 
-Differentiable via ``jax.custom_vjp`` (backward recomputes through the jnp
-reference), which supports REVERSE mode only — the likelihood engine's
-Hutchinson ``jax.jvp`` must use the jnp path. The estimator therefore only
-enables this kernel when asked (synthesize() does; training/likelihood
-don't) — see models/diffusion.py.
+Differentiable via ``jax.custom_vjp`` with a REAL streaming backward
+(round 4): two more sweeps over (x, dy) plus O(H^2) host algebra — see
+the backward section below — so training benefits too (measured 17.6 ->
+17.0 ms full train step at B16 on v5e; round 3's recompute-the-jnp-
+forward backward was net-negative). Reverse mode only — the likelihood
+engine's Hutchinson ``jax.jvp`` must use the jnp path; synthesize() and
+make_train_step enable the kernel on TPU, the likelihood engine doesn't.
 """
 
 import functools
@@ -50,7 +52,7 @@ _NEG = -1e30
 _warned_fallback = False
 
 
-def _stats_kernel(x_ref, wk_ref, wv_ref, ctx_ref, den_ref,
+def _stats_kernel(x_ref, wk_ref, wv_ref, ctx_ref, den_ref, mout_ref,
                   m_ref, acc_ref, d_ref, *, n_total: int, n_tile: int,
                   phases: int):
     t = pl.program_id(1)
@@ -102,6 +104,7 @@ def _stats_kernel(x_ref, wk_ref, wv_ref, ctx_ref, den_ref,
     def _emit():
         ctx_ref[0] = acc_ref[...]
         den_ref[0] = d_ref[...]
+        mout_ref[0] = m_ref[...]
 
 
 def _apply_kernel(x_ref, wq_ref, ctx2_ref, bias_ref, out_ref):
@@ -157,7 +160,7 @@ def _forward(x, w_q, w_k, w_v, w_out, b_out, g,
     else:
         w_k_in, w_v_in = w_k, w_v
 
-    ctx, den = pl.pallas_call(
+    ctx, den, m = pl.pallas_call(
         functools.partial(_stats_kernel, n_total=N, n_tile=n_tile,
                           phases=phases),
         grid=grid,
@@ -169,9 +172,11 @@ def _forward(x, w_q, w_k, w_v, w_out, b_out, g,
         out_specs=[
             pl.BlockSpec((1, H, H), lambda b, t: (b, 0, 0)),
             pl.BlockSpec((1, 1, H), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, 1, H), lambda b, t: (b, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, H), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, H), jnp.float32),
         ],
         scratch_shapes=[
@@ -213,7 +218,7 @@ def _forward(x, w_q, w_k, w_v, w_out, b_out, g,
             dimension_semantics=('arbitrary', 'arbitrary')),
         interpret=interpret,
     )(xr, w_q_in.astype(x.dtype), ctx2.astype(x.dtype), bias)
-    return out.reshape(B, F, T, C)
+    return out.reshape(B, F, T, C), ctx, den, m
 
 
 def _reference(x, w_q, w_k, w_v, w_out, b_out, g, dim_head: int):
@@ -274,7 +279,7 @@ def fused_linear_attention_rezero(x, w_q, w_k, w_v, w_out, b_out, g,
     g = jnp.asarray(g, jnp.float32).reshape(())
     try:
         return _forward(x, w_q, w_k, w_v, w_out, b_out, g, dim_head,
-                        phases, interpret=not _on_tpu())
+                        phases, interpret=not _on_tpu())[0]
     except (NotImplementedError, ValueError) as e:
         # Only unsupported-backend trace-time failures fall back (Pallas
         # raises NotImplementedError/ValueError when the platform or a
@@ -294,14 +299,313 @@ def fused_linear_attention_rezero(x, w_q, w_k, w_v, w_out, b_out, g,
                                  dim_head, phases)
 
 
+# --- streaming Pallas backward ---------------------------------------------
+#
+# With y = q A + g b_out + x (q = x Wq, A = ctx2n Wout g per batch) and the
+# saved forward statistics (ctx, den, m), the whole VJP needs only two more
+# streaming sweeps over (x, dy) plus O(H^2) host algebra — no q/k/v/exp(k)
+# tensor is ever materialized in HBM (the old backward recomputed the jnp
+# forward, costing ~10 full-tensor round trips):
+#
+#   sweep 1: dA_b     = sum_p q_p^T dy_p          (per batch)
+#            dWq     += x^T (g dy A_pre^T)        (global)
+#            db, dg  += column sums of dy, dy*(q A_pre + b_out)
+#   host:    dWout, dctx, dden from dA_b, ctx, den (tiny matrices)
+#   sweep 2: ek = exp(x Wk - m);  dek = v dctx^T + dden;  dk = ek*dek
+#            dv = ek dctx;  dx = dy + dq Wq^T + dk Wk^T + dv Wv^T
+#            dWk += x^T dk;  dWv += x^T dv
+#
+# m is stop-gradient (parity with the module, models/diffusion.py:386).
+# phases == 2 works exactly like the forward: block-diagonal weight/context
+# matrices keep both folded positions per row at full lane fill; the
+# logical grads are the sums of the per-phase diagonal blocks.
+
+_BWD_TILE_LIMIT_BYTES = 512 * 1024
+
+
+def _bwd_sweep1_kernel(x_ref, dy_ref, wq_ref, afullt_ref, apre_ref,
+                       bout_ref, da_ref, dwq_ref, db_ref, dgv_ref,
+                       da_acc, dwq_acc, db_acc, dgv_acc,
+                       *, n_total: int, n_tile: int):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init_batch():
+        da_acc[...] = jnp.zeros_like(da_acc)
+
+    @pl.when(jnp.logical_and(b == 0, t == 0))
+    def _init_global():
+        dwq_acc[...] = jnp.zeros_like(dwq_acc)
+        db_acc[...] = jnp.zeros_like(db_acc)
+        dgv_acc[...] = jnp.zeros_like(dgv_acc)
+
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (n_tile, 1), 0) + t * n_tile
+    valid = rows < n_total
+    x = jnp.where(valid, x_ref[0], 0)                       # [Nt, C]
+    dy = jnp.where(valid, dy_ref[0], 0).astype(jnp.float32)
+
+    q = jnp.dot(x, wq_ref[...],
+                preferred_element_type=jnp.float32)         # [Nt, PH]
+    da_acc[...] += jax.lax.dot_general(
+        q, dy, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [PH, C]
+    o_pre = jnp.dot(q.astype(x.dtype), apre_ref[0],
+                    preferred_element_type=jnp.float32)     # [Nt, C]
+    dgv_acc[...] += jnp.sum(dy * (o_pre + bout_ref[...]),
+                            axis=0, keepdims=True)
+    db_acc[...] += jnp.sum(dy, axis=0, keepdims=True)
+    dq = jnp.dot(dy.astype(x.dtype), afullt_ref[0],
+                 preferred_element_type=jnp.float32)        # [Nt, PH]
+    dwq_acc[...] += jax.lax.dot_general(
+        x, dq.astype(x.dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [C, PH]
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _emit_batch():
+        da_ref[0] = da_acc[...]
+
+    @pl.when(jnp.logical_and(b == pl.num_programs(0) - 1,
+                             t == pl.num_programs(1) - 1))
+    def _emit_global():
+        dwq_ref[...] = dwq_acc[...]
+        db_ref[...] = db_acc[...]
+        dgv_ref[...] = dgv_acc[...]
+
+
+def _bwd_sweep2_kernel(x_ref, dy_ref, wk_ref, wv_ref, afullt_ref, wqt_ref,
+                       wkt_ref, wvt_ref, m_ref, dctxt_ref, dctx_ref,
+                       dden_ref, dx_ref, dwk_ref, dwv_ref,
+                       dwk_acc, dwv_acc, *, n_total: int, n_tile: int):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(b == 0, t == 0))
+    def _init_global():
+        dwk_acc[...] = jnp.zeros_like(dwk_acc)
+        dwv_acc[...] = jnp.zeros_like(dwv_acc)
+
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (n_tile, 1), 0) + t * n_tile
+    valid = rows < n_total
+    x = jnp.where(valid, x_ref[0], 0)                       # [Nt, C]
+    dy = jnp.where(valid, dy_ref[0], 0)
+
+    k = jnp.dot(x, wk_ref[...],
+                preferred_element_type=jnp.float32)         # [Nt, PH]
+    ek = jnp.where(valid, jnp.exp(k - m_ref[0]), 0.0)
+    v = jnp.dot(x, wv_ref[...],
+                preferred_element_type=jnp.float32)
+    dek = jnp.dot(v.astype(x.dtype), dctxt_ref[0],
+                  preferred_element_type=jnp.float32) + dden_ref[0]
+    dk = (ek * dek).astype(x.dtype)                          # [Nt, PH]
+    dv = jnp.dot(ek.astype(x.dtype), dctx_ref[0],
+                 preferred_element_type=jnp.float32).astype(x.dtype)
+    dq = jnp.dot(dy, afullt_ref[0],
+                 preferred_element_type=jnp.float32).astype(x.dtype)
+
+    dx = dy.astype(jnp.float32)
+    dx = dx + jnp.dot(dq, wqt_ref[...],
+                      preferred_element_type=jnp.float32)
+    dx = dx + jnp.dot(dk, wkt_ref[...],
+                      preferred_element_type=jnp.float32)
+    dx = dx + jnp.dot(dv, wvt_ref[...],
+                      preferred_element_type=jnp.float32)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    dwk_acc[...] += jax.lax.dot_general(
+        x, dk, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [C, PH]
+    dwv_acc[...] += jax.lax.dot_general(
+        x, dv, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(jnp.logical_and(b == pl.num_programs(0) - 1,
+                             t == pl.num_programs(1) - 1))
+    def _emit_global():
+        dwk_ref[...] = dwk_acc[...]
+        dwv_ref[...] = dwv_acc[...]
+
+
+def _sum_phase_blocks(mat, phases, rows, cols):
+    """[phases*rows, phases*cols] -> [rows, cols] summing diagonal blocks
+    (grad of a block-diagonal weight replication)."""
+    if phases == 1:
+        return mat
+    return sum(mat[p * rows:(p + 1) * rows, p * cols:(p + 1) * cols]
+               for p in range(phases))
+
+
+def _backward_pallas(x, w_q, w_k, w_v, w_out, b_out, g, ctx, den, m, dy,
+                     dim_head: int, phases: int, interpret: bool):
+    B, F, T, C = x.shape
+    H = w_q.shape[1]
+    PH = phases * H
+    C_real = C // phases
+    N = F * T
+    xr = x.reshape(B, N, C)
+    dyr = dy.reshape(B, N, C)
+    bytes_per_row = 2 * C * np.dtype(x.dtype).itemsize
+    n_tile = max(16, min(N, _BWD_TILE_LIMIT_BYTES // bytes_per_row)
+                 // 16 * 16)
+    grid = (B, pl.cdiv(N, n_tile))
+    dt = x.dtype
+
+    bd = jnp.asarray(_head_blockdiag(H, dim_head))
+    denb = den.reshape(B, H)                                  # per d
+    ctx2n = ctx * bd[None] / denb[:, :, None]                 # [B, H, H]
+    w_out32 = w_out.astype(jnp.float32)
+    a_pre = jnp.einsum('bde,ec->bdc', ctx2n, w_out32)         # [B, H, Cr]
+    a_full = a_pre * g
+
+    if phases == 2:
+        a_pre_in = jax.vmap(_blockdiag2)(a_pre)               # [B, PH, C]
+        a_full_t = jax.vmap(_blockdiag2)(a_full).transpose(0, 2, 1)
+        bout_in = jnp.tile(b_out.astype(jnp.float32).reshape(1, -1),
+                           (1, 2))
+        m_in = jnp.tile(m, (1, 1, 2))                         # [B, 1, PH]
+        wq_in, wk_in, wv_in = (_blockdiag2(w) for w in (w_q, w_k, w_v))
+    else:
+        a_pre_in = a_pre
+        a_full_t = a_full.transpose(0, 2, 1)
+        bout_in = b_out.astype(jnp.float32).reshape(1, -1)
+        m_in = m
+        wq_in, wk_in, wv_in = w_q, w_k, w_v
+
+    da, dwq_blk, db_blk, dgv = pl.pallas_call(
+        functools.partial(_bwd_sweep1_kernel, n_total=N, n_tile=n_tile),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n_tile, C), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, n_tile, C), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((C, PH), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, C, PH), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, PH, C), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, C), lambda b, t: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, PH, C), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((C, PH), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, t: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, PH, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, PH), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((PH, C), jnp.float32),
+            pltpu.VMEM((C, PH), jnp.float32),
+            pltpu.VMEM((1, C), jnp.float32),
+            pltpu.VMEM((1, C), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary')),
+        interpret=interpret,
+    )(xr, dyr, wq_in.astype(dt), a_full_t.astype(dt),
+      a_pre_in.astype(dt), bout_in)
+
+    # --- tiny host algebra: dWout / dctx / dden from dA ---
+    # logical dA (grad wrt A_full = a_pre*g): sum the per-phase blocks
+    if phases == 2:
+        da_l = (da[:, :H, :C_real] + da[:, H:, C_real:])      # [B, H, Cr]
+    else:
+        da_l = da
+    dwout = jnp.einsum('bde,bdc->ec', ctx2n, da_l) * g        # [H, Cr]
+    dctx2n = jnp.einsum('bdc,ec->bde', da_l, w_out32) * g     # [B, H, H]
+    dctx_l = dctx2n * bd[None] / denb[:, :, None]
+    dden_l = -jnp.sum(dctx2n * ctx * bd[None], axis=2) \
+        / (denb * denb)                                       # [B, H]
+    dg = jnp.sum(dgv)
+    db_out = (jnp.sum(db_blk.reshape(phases, C_real), axis=0) * g
+              ).astype(jnp.float32)
+
+    if phases == 2:
+        dctx_in = jax.vmap(_blockdiag2)(dctx_l)               # [B, PH, PH]
+        dctxt_in = jax.vmap(_blockdiag2)(
+            dctx_l.transpose(0, 2, 1))
+        dden_in = jnp.tile(dden_l.reshape(B, 1, H), (1, 1, 2))
+    else:
+        dctx_in = dctx_l
+        dctxt_in = dctx_l.transpose(0, 2, 1)
+        dden_in = dden_l.reshape(B, 1, H)
+
+    dxr, dwk_blk, dwv_blk = pl.pallas_call(
+        functools.partial(_bwd_sweep2_kernel, n_total=N, n_tile=n_tile),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n_tile, C), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, n_tile, C), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((C, PH), lambda b, t: (0, 0)),
+            pl.BlockSpec((C, PH), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, C, PH), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((PH, C), lambda b, t: (0, 0)),
+            pl.BlockSpec((PH, C), lambda b, t: (0, 0)),
+            pl.BlockSpec((PH, C), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, 1, PH), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, PH, PH), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, PH, PH), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, 1, PH), lambda b, t: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n_tile, C), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((C, PH), lambda b, t: (0, 0)),
+            pl.BlockSpec((C, PH), lambda b, t: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, C), dt),
+            jax.ShapeDtypeStruct((C, PH), jnp.float32),
+            jax.ShapeDtypeStruct((C, PH), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((C, PH), jnp.float32),
+            pltpu.VMEM((C, PH), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary')),
+        interpret=interpret,
+    )(xr, dyr, wk_in.astype(dt), wv_in.astype(dt),
+      a_full_t.astype(dt), wq_in.T.astype(dt), wk_in.T.astype(dt),
+      wv_in.T.astype(dt), m_in, dctxt_in.astype(dt),
+      dctx_in.astype(dt), dden_in)
+
+    dwq = _sum_phase_blocks(dwq_blk, phases, C_real, H)
+    dwk = _sum_phase_blocks(dwk_blk, phases, C_real, H)
+    dwv = _sum_phase_blocks(dwv_blk, phases, C_real, H)
+    dx = dxr.reshape(B, F, T, C)
+    return (dx, dwq.astype(w_q.dtype), dwk.astype(w_k.dtype),
+            dwv.astype(w_v.dtype), dwout.astype(w_out.dtype),
+            db_out.astype(b_out.dtype), dg)
+
+
 def _fwd(x, w_q, w_k, w_v, w_out, b_out, g, dim_head, phases):
-    out = fused_linear_attention_rezero(x, w_q, w_k, w_v, w_out, b_out, g,
-                                        dim_head, phases)
-    return out, (x, w_q, w_k, w_v, w_out, b_out, g)
+    gg = jnp.asarray(g, jnp.float32).reshape(())
+    try:
+        out, ctx, den, m = _forward(x, w_q, w_k, w_v, w_out, b_out, gg,
+                                    dim_head, phases,
+                                    interpret=not _on_tpu())
+        return out, (x, w_q, w_k, w_v, w_out, b_out, g, ctx, den, m)
+    except (NotImplementedError, ValueError):
+        out = _reference_phased(x, w_q, w_k, w_v, w_out, b_out, gg,
+                                dim_head, phases)
+        return out, (x, w_q, w_k, w_v, w_out, b_out, g, None, None, None)
 
 
 def _bwd(dim_head, phases, residuals, dy):
-    x, w_q, w_k, w_v, w_out, b_out, g = residuals
+    x, w_q, w_k, w_v, w_out, b_out, g, ctx, den, m = residuals
+    if ctx is not None:
+        try:
+            grads = _backward_pallas(
+                x, w_q, w_k, w_v, w_out, b_out,
+                jnp.asarray(g, jnp.float32).reshape(()), ctx, den, m, dy,
+                dim_head, phases, interpret=not _on_tpu())
+            return grads[:6] + (grads[6].reshape(jnp.shape(g)),)
+        except (NotImplementedError, ValueError):
+            pass
     _, vjp = jax.vjp(
         lambda *a: _reference_phased(*a, dim_head=dim_head, phases=phases),
         x, w_q, w_k, w_v, w_out, b_out,

@@ -118,6 +118,31 @@ def test_fused_linear_attention_grad_matches_reference():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_fused_linear_attention_grad_phased_and_tail(monkeypatch):
+    """The streaming Pallas backward (round 4: two sweeps over (x, dy) +
+    host algebra instead of recomputing the jnp forward) must match the
+    jnp VJP in the frequency-folded phases=2 layout AND with a ragged
+    tile tail (masked rows in both sweeps)."""
+    monkeypatch.setattr(la, '_BWD_TILE_LIMIT_BYTES', 8 * 2 * 32 * 4)
+    x, w_q, w_k, w_v, w_out, b_out, g = _la_inputs(5, B=2, F=4, T=9,
+                                                   C=16, H=32)
+    xf = x.reshape(2, 2, 2, 9, 16).transpose(0, 1, 3, 2, 4).reshape(
+        2, 2, 9, 32)
+    args = (xf, w_q, w_k, w_v, w_out, b_out, g)
+
+    def loss_fused(*a):
+        return jnp.sum(la.fused_linear_attention_rezero(*a, 8, 2) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(la._reference_phased(*a, dim_head=8, phases=2) ** 2)
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5, 6))(*args)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5, 6))(*args)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_estimator_fused_attention_matches_jnp():
     """Full U-Net forward: fused_attention=True vs False agree (f32)."""
     from gradtts_tpu.models.diffusion import GradLogPEstimator2d

@@ -1,0 +1,340 @@
+"""Whole-program MFU / HBM-roofline accounting on the real chip.
+
+For each production phase — (a) the folded U-Net estimator forward,
+(b) the full 10-step Euler synthesis program, (c) the full training step,
+(d) the 10-step likelihood-scoring step — this tool reports:
+
+  - FLOPs and HBM bytes from XLA's own optimized-HLO cost analysis
+    (``compiled.cost_analysis()``: per-fusion operand/output bytes, so a
+    good proxy for actual HBM traffic after fusion),
+  - measured wall time per call (bench.py chained-fetch protocol — the
+    tunneled backend's block_until_ready returns early),
+  - MFU  = flops / time / peak_flops      (v5e bf16 peak: 197 TFLOP/s)
+  - BW%% = bytes / time / peak_bandwidth  (v5e HBM: ~819 GB/s)
+
+A program is at the chip's speed of light when max(MFU, BW%) approaches
+1; whichever is higher names the binding roofline. Run from /root/repo:
+
+  python tools/roofline.py [estimator synthesis train likelihood]
+
+Writes one JSON line per phase; PERFORMANCE.md's roofline table is
+produced from this output.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+PEAK_FLOPS = 197e12   # v5e bf16 peak (MXU)
+PEAK_BW = 819e9       # v5e HBM bandwidth
+HOP, SR = 256, 22050
+
+
+def timed_per_call(jfn, args_for, k=8):
+    """bench.py protocol: chained calls ending in one scalar fetch."""
+    def run(kk, seed0):
+        t0 = time.perf_counter()
+        v = 0.0
+        for i in range(kk):
+            v = jfn(*args_for(seed0 + i))
+        float(v)
+        return time.perf_counter() - t0
+
+    float(jfn(*args_for(0)))
+    float(jfn(*args_for(1)))
+    t1 = min(run(1, 100), run(1, 200))
+    tk = min(run(k, 300), run(k, 400))
+    return max((tk - t1) / (k - 1), 1e-9)
+
+
+def cost_of(lowered_compiled):
+    ca = lowered_compiled.cost_analysis()
+    d = ca[0] if isinstance(ca, (list, tuple)) else ca
+    return float(d.get('flops', 0.0)), float(d.get('bytes accessed', 0.0))
+
+
+def report(phase, flops, bytes_, seconds, note=''):
+    mfu = flops / seconds / PEAK_FLOPS
+    bw = bytes_ / seconds / PEAK_BW
+    print(json.dumps({
+        'phase': phase,
+        'time_ms': round(seconds * 1e3, 3),
+        'gflops': round(flops / 1e9, 2),
+        'hbm_gb': round(bytes_ / 1e9, 3),
+        'mfu': round(mfu, 4),
+        'hbm_roofline_frac': round(bw, 4),
+        'bound': 'hbm' if bw > mfu else 'mxu',
+        'note': note,
+    }), flush=True)
+
+
+def _tts(preset='ljspeech', B=8, TX=128):
+    from gradtts_tpu import get_config
+    from gradtts_tpu.models import GradTTS
+    cfg = get_config(preset)
+    model = GradTTS.from_config(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(1, cfg.n_vocab, size=(B, TX)), jnp.int32)
+    x_lengths = jnp.full((B,), TX, jnp.int32)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), x, x_lengths,
+        jnp.zeros((B, 8, cfg.data.n_feats)), jnp.full((B,), 8, jnp.int32),
+        None)
+    return cfg, model, params, x, x_lengths
+
+
+def phase_estimator(B=8, T=768, fused=None, tag=''):
+    from gradtts_tpu.models import GradTTS
+    cfg, model, params, _x, _xl = _tts()
+    if fused is None:
+        from gradtts_tpu.ops.pallas.linear_attention import _on_tpu
+        fused = _on_tpu()
+    rng = np.random.default_rng(1)
+    xt = jnp.asarray(rng.standard_normal((B, T, cfg.data.n_feats)),
+                     jnp.float32)
+    mu = jnp.asarray(rng.standard_normal((B, T, cfg.data.n_feats)),
+                     jnp.float32)
+    mask = jnp.ones((B, T), jnp.float32)
+
+    def fn(params, xt, mask, mu, t):
+        return model.apply(params, xt, mask, mu, t, None,
+                           spk_is_embedded=True, fused_attention=fused,
+                           method=GradTTS.estimate).sum()
+
+    jfn = jax.jit(fn)
+    t0 = jnp.full((B,), 0.5, jnp.float32)
+    flops, bytes_ = cost_of(jfn.lower(params, xt, mask, mu, t0).compile())
+    sec = timed_per_call(
+        jfn, lambda s: (params, xt, mask, mu,
+                        jnp.full((B,), 0.3 + 1e-4 * s, jnp.float32)))
+    report(f'estimator_fwd_B8_T768_bf16{tag}', flops, bytes_, sec,
+           f'folded U-Net score estimator, one forward, fused={fused}')
+    return flops, bytes_, sec
+
+
+def phase_encoder(B=8, TX=128, Y=768):
+    """The pre-sampler part of synthesize: encoder + durations + mu_y."""
+    from gradtts_tpu.models.tts import GradTTS
+    from gradtts_tpu.ops.seq import sequence_mask, generate_path
+    cfg, model, params, x, x_lengths = _tts(B=B, TX=TX)
+
+    def fn(params, x, x_lengths):
+        mu_x, logw, x_mask, _ = model.apply(params, x, x_lengths,
+                                            method=GradTTS.encode)
+        w = jnp.exp(logw[..., 0]) * x_mask[..., 0]
+        w_ceil = jnp.ceil(w)
+        y_lengths = jnp.minimum(jnp.maximum(jnp.sum(w_ceil, axis=1), 1.0),
+                                Y).astype(jnp.int32)
+        y_mask = sequence_mask(y_lengths, Y)[..., None].astype(mu_x.dtype)
+        attn_mask = x_mask[:, :, None, 0] * y_mask[:, None, :, 0]
+        attn = generate_path(w_ceil, attn_mask)
+        mu_y = jnp.einsum('bxy,bxf->byf', attn, mu_x)
+        return mu_y.sum()
+
+    jfn = jax.jit(fn)
+    flops, bytes_ = cost_of(jfn.lower(params, x, x_lengths).compile())
+    sec = timed_per_call(jfn, lambda s: (params, x, x_lengths))
+    report('encoder_prep_B8_TX128', flops, bytes_, sec,
+           'text encoder + durations + prior expansion (once per synth)')
+    return flops, bytes_, sec
+
+
+def phase_drift_eval(B=8, TX=128, TY=512):
+    """One Hutchinson drift+divergence evaluation (the likelihood scan
+    body): jvp through the estimator — measured scan-free so trip-count
+    composition is exact."""
+    from gradtts_tpu.likelihood.ode import _drift_and_div
+    from gradtts_tpu.likelihood.sde import SpeechSDE
+    from gradtts_tpu.models import get_score_fn
+    cfg, model, params, x, x_lengths = _tts(B=B, TX=TX)
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.standard_normal((B, TY, cfg.data.n_feats)),
+                    jnp.float32)
+    y_lengths = jnp.full((B,), TY, jnp.int32)
+
+    def fn(params, y, eps, t):
+        score_fn, mu_y, _s, y_mask = get_score_fn(
+            model, params, x, x_lengths, y, y_lengths, None)
+        sde = SpeechSDE(beta_min=model.beta_min, beta_max=model.beta_max,
+                        N=int(model.pe_scale), mu=mu_y, mask=y_mask)
+        f = _drift_and_div(sde, score_fn)
+        d, div = f(y, t, eps)
+        return d.sum() + div.sum()
+
+    # NOTE: this includes encoder+MAS prep; subtract nothing — we report
+    # it as prep+1 eval and compose: total = prep + n*eval, where eval =
+    # (this) - prep is impractical to isolate exactly; instead we lower a
+    # second program with TWO evals and difference them.
+    def fn2(params, y, eps, t):
+        score_fn, mu_y, _s, y_mask = get_score_fn(
+            model, params, x, x_lengths, y, y_lengths, None)
+        sde = SpeechSDE(beta_min=model.beta_min, beta_max=model.beta_max,
+                        N=int(model.pe_scale), mu=mu_y, mask=y_mask)
+        f = _drift_and_div(sde, score_fn)
+        d1, v1 = f(y, t, eps)
+        d2, v2 = f(y + 1e-3 * d1, t + 0.01, eps)
+        return d2.sum() + v1.sum() + v2.sum()
+
+    eps = jnp.asarray(rng.standard_normal(y.shape), jnp.float32)
+    t = jnp.full((B,), 0.5, jnp.float32)
+    f1, b1 = cost_of(jax.jit(fn).lower(params, y, eps, t).compile())
+    f2, b2 = cost_of(jax.jit(fn2).lower(params, y, eps, t).compile())
+    sec1 = timed_per_call(
+        jax.jit(fn), lambda s: (params, y, eps,
+                                jnp.full((B,), 0.3 + 1e-4 * s,
+                                         jnp.float32)))
+    sec2 = timed_per_call(
+        jax.jit(fn2), lambda s: (params, y, eps,
+                                 jnp.full((B,), 0.3 + 1e-4 * s,
+                                          jnp.float32)))
+    report('hutchinson_drift_eval_B8_T512', f2 - f1, b2 - b1,
+           max(sec2 - sec1, 1e-9),
+           'one jvp drift+div eval (difference of 2-eval and 1-eval '
+           'programs); prep (encoder+MAS) measured as the 1-eval program '
+           'minus this')
+    return (f1, b1, sec1), (f2 - f1, b2 - b1, sec2 - sec1)
+
+
+def phase_synthesis(B=8, TX=128, Y=768, n_steps=10):
+    from gradtts_tpu.models import synthesize
+    cfg, model, params, x, x_lengths = _tts(B=B, TX=TX)
+
+    def fn(params, x, x_lengths, key):
+        res = synthesize(model, params, x, x_lengths, n_timesteps=n_steps,
+                         y_max_length=Y, key=key)
+        return res.decoder_outputs.sum()
+
+    jfn = jax.jit(fn)
+    key = jax.random.PRNGKey(1)
+    flops, bytes_ = cost_of(jfn.lower(params, x, x_lengths, key).compile())
+    sec = timed_per_call(
+        jfn, lambda s: (params, x, x_lengths, jax.random.PRNGKey(s)))
+    audio_s = B * Y * HOP / SR
+    report('synthesis_10step_B8_T768', flops, bytes_, sec,
+           f'{audio_s / sec:.1f} audio-s/s; encoder + {n_steps} estimator '
+           'calls in one program')
+
+
+def phase_train(B=16):
+    from gradtts_tpu import get_config
+    from gradtts_tpu.models import GradTTS
+    from gradtts_tpu.train.state import (
+        init_state, make_optimizer, make_train_step)
+    cfg = get_config('tedlium-spk')
+    model = GradTTS.from_config(cfg, dtype=jnp.bfloat16)
+    TX, TY = 192, 344
+    rng = np.random.default_rng(0)
+    batch = {
+        'x': jnp.asarray(rng.integers(1, cfg.n_vocab, (B, TX)), jnp.int32),
+        'x_lengths': jnp.full((B,), TX, jnp.int32),
+        'y': jnp.asarray(rng.standard_normal((B, TY, cfg.data.n_feats)),
+                         jnp.float32),
+        'y_lengths': jnp.full((B,), TY, jnp.int32),
+        'spk': jnp.asarray(rng.integers(0, cfg.n_spks, (B,)), jnp.int32),
+    }
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), batch['x'], batch['x_lengths'],
+        batch['y'][:, :8], jnp.full((B,), 8, jnp.int32), batch['spk'])
+    optimizer = make_optimizer(cfg.train.learning_rate)
+    state = init_state(params, optimizer)
+    step = make_train_step(model, optimizer, out_size=cfg.out_size)
+
+    def fn(state, batch, key):
+        state, metrics = step(state, batch, key)
+        return state, metrics['loss/total']
+
+    jfn = jax.jit(fn, donate_argnums=(0,))
+    flops, bytes_ = cost_of(
+        jfn.lower(state, batch, jax.random.PRNGKey(0)).compile())
+
+    # donation-aware timing (bench_suite.bench_train_step protocol)
+    def run(kk, seed0):
+        nonlocal state
+        t0 = time.perf_counter()
+        v = 0.0
+        for i in range(kk):
+            state, v = jfn(state, batch, jax.random.PRNGKey(seed0 + i))
+        float(v)
+        return time.perf_counter() - t0
+
+    state, v = jfn(state, batch, jax.random.PRNGKey(0))
+    float(v)
+    t1 = min(run(1, 100), run(1, 200))
+    tk = min(run(8, 300), run(8, 400))
+    sec = max((tk - t1) / 7, 1e-9)
+    report('train_step_B16_crop128', flops, bytes_, sec,
+           f'{B / sec:.0f} utt/s; 3 losses + MAS + clip + adam fwd+bwd')
+
+
+def phase_likelihood(B=8, TX=128, TY=512, n_euler=10):
+    from gradtts_tpu.nbest.scoring import score_batch
+    cfg, model, params, x, x_lengths = _tts(B=B, TX=TX)
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.standard_normal((B, TY, cfg.data.n_feats)),
+                    jnp.float32)
+    y_lengths = jnp.full((B,), TY, jnp.int32)
+
+    def fn(params, key, x, x_lengths, y, y_lengths):
+        return score_batch(model, params, key, x, x_lengths, y, y_lengths,
+                           n_euler=n_euler).score.sum()
+
+    jfn = jax.jit(fn)
+    key = jax.random.PRNGKey(1)
+    flops, bytes_ = cost_of(
+        jfn.lower(params, key, x, x_lengths, y, y_lengths).compile())
+    sec = timed_per_call(
+        jfn, lambda s: (params, jax.random.PRNGKey(s), x, x_lengths,
+                        y, y_lengths))
+    report('likelihood_10step_B8_T512', flops, bytes_, sec,
+           f'{B / sec:.1f} hyp/s; encoder + MAS + Hutchinson-jvp Euler')
+
+
+def phase_compose():
+    """Corrected whole-program accounting: XLA's cost analysis counts a
+    lax.scan body ONCE (verified: the 10-step synthesis program reports
+    fewer flops than one estimator forward), so scan-heavy programs are
+    composed from scan-free parts: synthesis = encoder + 10 x estimator;
+    likelihood = prep + 10 x drift_eval."""
+    ef, eb, es = phase_estimator()
+    cf, cb, cs = phase_encoder()
+    (pf, pb, ps), (df, db_, ds) = phase_drift_eval()
+
+    # synthesis: 10 sampler steps (estimator + elementwise update ~ 3
+    # tensor passes, bytes only) + prep
+    step_extra_bytes = 3 * 8 * 768 * 80 * 4
+    syn_f = cf + 10 * ef
+    syn_b = cb + 10 * (eb + step_extra_bytes)
+    report('synthesis_10step_composed', syn_f, syn_b, cs + 10 * es,
+           'encoder + 10x(estimator + euler update); time = sum of parts '
+           '(compare to measured whole-program synthesis phase)')
+
+    # likelihood: prep (= 1-eval program minus one eval) + 10 evals
+    lik_f = (pf - df) + 10 * df
+    lik_b = (pb - db_) + 10 * db_
+    report('likelihood_10step_composed', lik_f, lik_b,
+           max(ps - ds, 0.0) + 10 * ds,
+           'encoder/MAS prep + 10x hutchinson jvp eval')
+
+
+PHASES = {
+    'estimator': phase_estimator,
+    'synthesis': phase_synthesis,
+    'train': phase_train,
+    'likelihood': phase_likelihood,
+    'encoder': phase_encoder,
+    'drift': phase_drift_eval,
+    'compose': phase_compose,
+}
+
+
+if __name__ == '__main__':
+    ap = argparse.ArgumentParser()
+    ap.add_argument('phases', nargs='*', default=list(PHASES))
+    args = ap.parse_args()
+    for name in (args.phases or list(PHASES)):
+        PHASES[name]()
