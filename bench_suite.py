@@ -208,9 +208,29 @@ def bench_likelihood(B=8, TX=128, TY=512, n_euler=10):
          f'B{B} T{TY} {n_euler}-step euler hutchinson-jvp')
 
 
+def bench_mel_frontend(B=8, Y=768):
+    """On-chip mel front end (north-star item): batched reflect-padded
+    STFT + slaney mel matmul + log as one jitted program, the
+    DataLoader(device_mel=True) compute path."""
+    from gradtts_tpu.data.mel import mel_from_padded_jit
+    hop, n_fft = 256, 1024
+    S = (Y - 1) * hop + n_fft
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((B, S)) * 0.1, jnp.float32)
+
+    def fn(audio):
+        return mel_from_padded_jit(audio).sum()
+
+    jfn = jax.jit(fn)
+    per_call = timed_per_call(jfn, lambda s: (audio + 1e-6 * s,))
+    emit('mel_frontend_stft_mel', B * Y * HOP / SR / per_call,
+         'audio_s/s/chip', f'B{B} {Y} frames n_fft {n_fft} hop {hop}')
+
+
 ALL = {
     'mel10': lambda: bench_mel_synthesis(
         'ljspeech', 'mel_10step_euler', n_steps=10),
+    'mel_frontend': bench_mel_frontend,
     'waveform': bench_waveform,
     'multispeaker': lambda: bench_mel_synthesis(
         'libri-tts', 'multispeaker_mel_10step_euler', n_steps=10),

@@ -85,6 +85,11 @@ class TrainConfig:
     # rematerialize the U-Net in the backward pass (jax.checkpoint): trades
     # ~1/3 more estimator FLOPs for a large activation-memory cut
     remat_estimator: bool = False
+    # extract log-mels on the accelerator (batched STFT+matmul jit) instead
+    # of host numpy workers: measured 127 -> 732 utt/s sustained feed on
+    # the 2-CPU bench host (PERFORMANCE.md "Input pipeline"); single-host
+    # only (the per-host sharded pipeline keeps host mels)
+    device_mel: bool = False
 
 
 @dataclass(frozen=True)

@@ -158,6 +158,19 @@ class TextMelDataset:
         path, text = self.filepaths_and_text[index][:2]
         return {'x': self.get_text(text), 'y': self.get_mel(path)}
 
+    def get_audio(self, filepath):
+        audio, sr = load_wav(filepath)
+        if sr != self.sample_rate:
+            raise ValueError(f'{filepath}: sample rate {sr} != {self.sample_rate}')
+        return audio
+
+    def audio_item(self, index):
+        """Like __getitem__ but with raw audio instead of the host-computed
+        mel — the device input pipeline (DataLoader(device_mel=True))
+        extracts mels on the accelerator instead of the host CPUs."""
+        path, text = self.filepaths_and_text[index][:2]
+        return {'x': self.get_text(text), 'audio': self.get_audio(path)}
+
     def item_lengths(self, index):
         """(token count, mel frame count) WITHOUT decoding audio — text is
         tokenized, audio length comes from the WAV header. Must match the
@@ -188,6 +201,12 @@ class TextMelSpeakerDataset(TextMelDataset):
         return {'x': self.get_text(text), 'y': self.get_mel(path),
                 'spk': np.asarray([int(speaker)], dtype=np.int32)}
 
+    def audio_item(self, index):
+        item = super().audio_item(index)
+        item['spk'] = np.asarray([int(self.filepaths_and_text[index][2])],
+                                 dtype=np.int32)
+        return item
+
 
 class TextMelZeroSpeakerDataset(TextMelDataset):
     """(wav, text) filelist plus a pretrained speaker-embedding matrix
@@ -205,6 +224,11 @@ class TextMelZeroSpeakerDataset(TextMelDataset):
         path, text = self.filepaths_and_text[index][:2]
         return {'x': self.get_text(text), 'y': self.get_mel(path),
                 'spk': np.asarray(self.spk_emb[index], dtype=np.float32)}
+
+    def audio_item(self, index):
+        item = super().audio_item(index)
+        item['spk'] = np.asarray(self.spk_emb[index], dtype=np.float32)
+        return item
 
 
 def _load_embedding_matrix(path):
@@ -291,17 +315,108 @@ class BatchCollate:
         return out
 
 
+class DeviceMelCollate:
+    """Collate raw-audio items ('x', 'audio'(, 'spk')) and extract the
+    log-mels as ONE jitted batched STFT+matmul on the accelerator.
+
+    Produces the same batch dict as :class:`BatchCollate` (same bucket
+    shapes, same values to fft precision, tail frames zeroed): each
+    utterance is reflect-padded on the host first — so edge frames see
+    the utterance's own reflection, exactly like the per-item host path
+    (parity: /root/reference/data.py:74-76) — then the batch is
+    zero-padded to the frame bucket and handed to ``mel_from_padded_jit``.
+    On the 2-CPU bench host the numpy mel loop feeds ~130 utt/s while the
+    train step consumes ~940; the device path removes the host fft from
+    the critical path entirely (PERFORMANCE.md "Input pipeline").
+    """
+
+    def __init__(self, base: BatchCollate, n_fft=1024, n_mels=80,
+                 sample_rate=22050, hop_length=256, win_length=1024,
+                 f_min=0.0, f_max=8000.0):
+        self.base = base
+        self.n_fft, self.n_mels = n_fft, n_mels
+        self.sample_rate, self.hop_length = sample_rate, hop_length
+        self.win_length, self.f_min, self.f_max = win_length, f_min, f_max
+        self.x_buckets = base.x_buckets
+        self.y_buckets = base.y_buckets
+
+    @classmethod
+    def for_dataset(cls, dataset, base: BatchCollate):
+        return cls(base, n_fft=dataset.n_fft, n_mels=dataset.n_mels,
+                   sample_rate=dataset.sample_rate,
+                   hop_length=dataset.hop_length,
+                   win_length=dataset.win_length, f_min=dataset.f_min,
+                   f_max=dataset.f_max)
+
+    def shapes_for(self, x_max: int, y_max: int):
+        return self.base.shapes_for(x_max, y_max)
+
+    def __call__(self, batch: List[Dict],
+                 shapes: Optional[tuple] = None) -> Dict[str, np.ndarray]:
+        from gradtts_tpu.data.mel import mel_from_padded_jit
+        hop, n_fft = self.hop_length, self.n_fft
+        pad = (n_fft - hop) // 2
+        B = len(batch)
+        y_lengths = np.array(
+            [1 + (item['audio'].shape[-1] + 2 * pad - n_fft) // hop
+             for item in batch], np.int32)
+        x_max = max(item['x'].shape[-1] for item in batch)
+        if shapes is not None:
+            xb, yb = shapes
+        else:
+            xb, yb = self.base.shapes_for(x_max, int(y_lengths.max()))
+        # bucketed padded-audio length such that frames(S) == yb
+        S = (yb - 1) * hop + n_fft
+        audio = np.zeros((B, S), np.float32)
+        for i, item in enumerate(batch):
+            a = np.pad(np.asarray(item['audio'], np.float32), (pad, pad),
+                       mode='reflect')
+            audio[i, :a.shape[-1]] = a
+        # y stays a device array (tail frames zeroed in-jit): no host
+        # round trip — the training step consumes it where it lives, and
+        # jax's async dispatch overlaps the upload/fft with host work
+        y = mel_from_padded_jit(
+            audio, y_lengths, n_fft=n_fft, num_mels=self.n_mels,
+            sampling_rate=self.sample_rate, hop_size=hop,
+            win_size=self.win_length, fmin=self.f_min, fmax=self.f_max)
+
+        # collate the host-side fields like BatchCollate
+        x = np.zeros((B, xb), np.int32)
+        x_lengths = np.zeros((B,), np.int32)
+        for i, item in enumerate(batch):
+            xi = item['x']
+            x[i, :xi.shape[-1]] = xi
+            x_lengths[i] = xi.shape[-1]
+        out = {'x': x, 'x_lengths': x_lengths, 'y': y,
+               'y_lengths': y_lengths}
+        if 'spk' in batch[0]:
+            s0 = np.asarray(batch[0]['spk'])
+            if s0.dtype.kind in 'iu':
+                out['spk'] = np.array(
+                    [int(np.asarray(b['spk']).reshape(-1)[0])
+                     for b in batch], np.int32)
+            else:
+                out['spk'] = np.stack(
+                    [np.asarray(b['spk'], np.float32).reshape(-1)
+                     for b in batch])
+        return out
+
+
 class DataLoader:
     """Minimal epoch iterator with background prefetch.
 
     Replaces torch DataLoader(num_workers=N): items are fetched by a thread
     pool (audio decode + numpy mel), batches collated to static shapes and
-    queued ahead of the training step.
+    queued ahead of the training step. ``device_mel=True`` fetches raw
+    audio instead (``dataset.audio_item``) and extracts the mels on the
+    accelerator via :class:`DeviceMelCollate` — the TPU-first path when
+    host CPUs can't feed the chip (measured on the 2-CPU bench host:
+    ~130 -> >1000 utt/s sustained; PERFORMANCE.md "Input pipeline").
     """
 
     def __init__(self, dataset, batch_size, collate: BatchCollate,
                  shuffle=True, seed=0, drop_last=True, num_workers=4,
-                 prefetch=2, shard=None):
+                 prefetch=2, shard=None, device_mel=False):
         """``batch_size`` is the GLOBAL batch. ``shard=(index, count)``
         makes this a per-host input pipeline: every host computes the same
         shuffled order (same seed), then loads only its contiguous
@@ -309,6 +424,9 @@ class DataLoader:
         ``shard_batch(..., per_host=True)``."""
         self.dataset = dataset
         self.batch_size = batch_size
+        self.device_mel = device_mel
+        if device_mel and not isinstance(collate, DeviceMelCollate):
+            collate = DeviceMelCollate.for_dataset(dataset, collate)
         self.collate = collate
         self.shuffle = shuffle
         self.seed = seed
@@ -375,11 +493,13 @@ class DataLoader:
         def produce():
             try:
                 from concurrent.futures import ThreadPoolExecutor
+                fetch = self.dataset.audio_item if self.device_mel \
+                    else self.dataset.__getitem__
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     for idx_batch, shape in zip(batches, shapes):
                         if stop.is_set():
                             return
-                        items = list(pool.map(self.dataset.__getitem__,
+                        items = list(pool.map(fetch,
                                               [int(i) for i in idx_batch]))
                         q.put(self.collate(items, shapes=shape)
                               if shape is not None else self.collate(items))

@@ -105,6 +105,40 @@ mel_spectrogram_jit = jax.jit(
                      'win_size', 'fmin', 'fmax'))
 
 
+def mel_from_padded(y_padded, y_lengths=None, n_fft=1024, num_mels=80,
+                    sampling_rate=22050, hop_size=256, win_size=1024,
+                    fmin=0.0, fmax=8000.0):
+    """Batched log-mel of ALREADY reflect-padded audio [..., S].
+
+    The device input pipeline (DataLoader(device_mel=True)) reflect-pads
+    each utterance on the host (so edge frames see the utterance's own
+    reflection, exactly like the per-item reference pipeline,
+    /root/reference/data.py:74-76) and zero-pads the batch to a bucket;
+    the STFT + mel matmul then run as ONE jitted program on the
+    accelerator — the host's 2-CPU numpy rfft loop is the measured
+    bottleneck of the training input pipeline (see PERFORMANCE.md
+    "Input pipeline").
+    """
+    mag = stft_magnitude(y_padded, n_fft, hop_size, win_size)
+    basis = jnp.asarray(mel_filterbank(sampling_rate, n_fft, num_mels,
+                                       fmin, fmax))
+    mel = jnp.einsum('...tf,mf->...tm', mag, basis,
+                     preferred_element_type=jnp.float32)
+    mel = jnp.log(jnp.clip(mel, min=1e-5))
+    if y_lengths is not None:
+        # zero tail frames on device (the host collate zero-pads) so the
+        # result never needs a host round trip before training consumes it
+        frames = jnp.arange(mel.shape[-2])
+        mel = mel * (frames[:, None] < y_lengths[..., None, None])
+    return mel
+
+
+mel_from_padded_jit = jax.jit(
+    mel_from_padded,
+    static_argnames=('n_fft', 'num_mels', 'sampling_rate', 'hop_size',
+                     'win_size', 'fmin', 'fmax'))
+
+
 def mel_spectrogram_np(y, n_fft=1024, num_mels=80, sampling_rate=22050,
                        hop_size=256, win_size=1024, fmin=0.0, fmax=8000.0):
     """Numpy twin of :func:`mel_spectrogram` for host-side data workers

@@ -126,7 +126,8 @@ def train(cfg: GradTTSConfig, n_epochs: Optional[int] = None,
         shard = ((jax.process_index(), jax.process_count())
                  if multihost else None)
         loader = DataLoader(dataset, cfg.train.batch_size, collate,
-                            shuffle=True, seed=cfg.train.seed, shard=shard)
+                            shuffle=True, seed=cfg.train.seed, shard=shard,
+                            device_mel=cfg.train.device_mel and not multihost)
 
     try:
         first = next(iter(loader))

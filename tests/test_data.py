@@ -142,6 +142,46 @@ def test_dataset_and_collate(tmp_path):
     assert batches[0]['x'].shape[0] == 2
 
 
+def test_device_mel_loader_matches_host_path(tmp_path):
+    """DataLoader(device_mel=True) — raw audio batched + one jitted
+    STFT+mel on the accelerator — must reproduce the host numpy pipeline:
+    same bucket shapes, same y_lengths, same mel values to fft precision,
+    zero tails. (The host twin computes its fft in float64 via numpy;
+    the device path is float32, hence the tolerance.)"""
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f'dm{i}.wav')
+        _write_wav(p, seconds=0.4 + 0.17 * i, seed=10 + i)
+        paths.append(p)
+    filelist = tmp_path / 'list.txt'
+    filelist.write_text('\n'.join(
+        f'{p}|device mel test {i}' for i, p in enumerate(paths)))
+
+    ds = TextMelDataset(str(filelist), CMUDICT, shuffle=False)
+    collate = BatchCollate(x_buckets=(64,), y_buckets=(64, 128))
+    host = list(DataLoader(ds, 4, collate, shuffle=False, drop_last=True,
+                           num_workers=1))[0]
+    dev = list(DataLoader(ds, 4, collate, shuffle=False, drop_last=True,
+                          num_workers=1, device_mel=True))[0]
+    assert host['y'].shape == dev['y'].shape
+    np.testing.assert_array_equal(host['y_lengths'], dev['y_lengths'])
+    np.testing.assert_array_equal(host['x'], dev['x'])
+    np.testing.assert_allclose(dev['y'], host['y'], rtol=2e-3, atol=2e-3)
+    for i, L in enumerate(dev['y_lengths']):
+        assert np.abs(dev['y'][i, L:]).max() == 0
+
+
+def test_device_mel_loader_speaker_items(tmp_path):
+    p = str(tmp_path / 'sdm.wav')
+    _write_wav(p)
+    filelist = tmp_path / 'list.txt'
+    filelist.write_text(f'{p}|hi there|7\n{p}|bye now|3')
+    ds = TextMelSpeakerDataset(str(filelist), CMUDICT, shuffle=False)
+    batch = list(DataLoader(ds, 2, BatchCollate(), shuffle=False,
+                            num_workers=1, device_mel=True))[0]
+    np.testing.assert_array_equal(batch['spk'], [7, 3])
+
+
 def test_speaker_dataset(tmp_path):
     p = str(tmp_path / 's.wav')
     _write_wav(p)

@@ -72,3 +72,30 @@ def test_train_with_synthesis_previews(tmp_path):
     state2 = train(cfg, n_epochs=1, max_steps=1, log_dir=log_dir, mesh=mesh,
                    synthesis_every_epoch=False)
     assert int(state2.step) == 2
+
+
+def test_train_with_device_mel_pipeline(tmp_path):
+    """train.device_mel=True: the loader fetches raw audio and extracts
+    mels on the accelerator (DeviceMelCollate); the train step consumes
+    the device-resident y without a host round trip."""
+    import jax
+    from gradtts_tpu.parallel.mesh import make_mesh
+    from gradtts_tpu.train.loop import train
+
+    cfg = _tiny_cfg(tmp_path)
+    cfg = get_config('ljspeech', **{  # rebuild with the flag set
+        'data.train_filelist_path': cfg.data.train_filelist_path,
+        'data.cmudict_path': CMUDICT,
+        'data.x_buckets': (64,), 'data.y_buckets': (64,),
+        'encoder.n_enc_channels': 16, 'encoder.filter_channels': 32,
+        'encoder.filter_channels_dp': 32, 'encoder.n_enc_layers': 1,
+        'decoder.dec_dim': 8, 'train.batch_size': 2, 'train.test_size': 2,
+        'train.use_bf16_compute': False, 'train.seed': 0,
+        'train.log_dir': str(tmp_path / 'logs_dm'),
+        'train.device_mel': True,
+    })
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    state = train(cfg, n_epochs=1, max_steps=1,
+                  log_dir=str(tmp_path / 'logs_dm'), mesh=mesh,
+                  synthesis_every_epoch=False)
+    assert int(state.step) == 1
