@@ -75,15 +75,56 @@ def _dilated_conv1d(features, kernel_size, dilation, name,
                    padding=[(pad, pad)], dtype=dtype, name=name)
 
 
+def _phase_packed_kernel(kf, u: int, p: int):
+    """Rearrange a [k, I, O] direct-conv kernel (the lhs-dilated
+    formulation's correlation kernel) into a DENSE block kernel
+    [A, I, u*O] whose output channels pack the u output phases
+    (r-major): y_block[i, (r, o)] = sum_a x[i + a + d_min] DK[a], with
+    phase r's tap at stored index m = -d*u + (k-1-p) - r (zero where out
+    of range). Same trick as the U-Net ``Upsample.fold_out``
+    (models/diffusion.py:144-168): no zero-inserted rows ever hit the
+    MXU. Returns (DK, (pad_left, pad_right))."""
+    k, i_ch, o_ch = kf.shape
+    dmax = (k - 1) // u + 1
+    entries = {}
+    for d in range(-dmax, dmax + 1):
+        cols, any_valid = [], False
+        for r in range(u):
+            m = -d * u + (k - 1 - p) - r
+            if 0 <= m < k:
+                cols.append(kf[m])
+                any_valid = True
+            else:
+                cols.append(jnp.zeros_like(kf[0]))
+        if any_valid:
+            entries[d] = jnp.stack(cols, axis=1).reshape(i_ch, u * o_ch)
+    ds = sorted(entries)
+    # correlation tap a corresponds to block offset delta = -d, ordered
+    # increasing: reverse the d order
+    dk = jnp.stack([entries[d] for d in reversed(ds)], axis=0)
+    return dk, (max(ds), -min(ds))
+
+
 class ConvTranspose1dTorch(nn.Module):
-    """torch ConvTranspose1d(in, out, k, stride u, padding (k-u)//2)
-    as a direct conv over an lhs-dilated input. Params stay float32; the
-    conv runs in ``dtype`` (bf16 on the MXU when enabled) with the bias
-    add in float32."""
+    """torch ConvTranspose1d(in, out, k, stride u, padding (k-u)//2).
+
+    Two mathematically identical lowerings:
+    - ``phase_packed=True`` (default): a dense width-~(k/u + 1) conv over
+      input blocks emitting all u output phases as packed channels, then
+      a contiguous reshape to positions — no zero-inserted rows on the
+      MXU (the lhs-dilated form feeds the MXU an input that is (u-1)/u
+      zeros). Same rearrangement idea as the U-Net Upsample.fold_out.
+    - ``phase_packed=False``: direct conv over the lhs-dilated input.
+
+    Params stay float32; the conv runs in ``dtype`` (bf16 on the MXU when
+    enabled) with the bias add in float32. The kernel rearrangement is a
+    trace-time gather of the stored parameter, so checkpoints and GAN
+    training are unaffected."""
     features: int
     kernel_size: int
     stride: int
     dtype: Any = jnp.float32
+    phase_packed: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -92,6 +133,16 @@ class ConvTranspose1dTorch(nn.Module):
         kernel = self.param('kernel', nn.initializers.lecun_normal(),
                             (k, x.shape[-1], self.features))
         bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        if self.phase_packed:
+            b, t, _ = x.shape
+            dk, (pl, pr) = _phase_packed_kernel(kernel, u, p)
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), dk.astype(self.dtype),
+                window_strides=(1,), padding=((pl, pr),),
+                dimension_numbers=('NHC', 'HIO', 'NHC'))  # [B, T, u*O]
+            y = (y.astype(jnp.float32)
+                 + jnp.tile(bias, u)).astype(self.dtype)
+            return y.reshape(b, t * u, self.features)
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
             window_strides=(1,), padding=((k - 1 - p, k - 1 - p),),
@@ -147,6 +198,15 @@ class Generator(nn.Module):
     reference parity)."""
     cfg: HiFiGANConfig = field(default_factory=HiFiGANConfig)
     dtype: Any = jnp.float32
+    # Dense phase-packed upsample convs — measured SLOWER for the whole
+    # generator on v5e (bf16 55.0 -> 59.5 ms; XLA byte estimate 28.3 ->
+    # 32.1 GB): the packed conv itself wins at lane-under-filled late
+    # stages (up3 64->32 in isolation: 1.07 -> 0.88 ms) but its
+    # phase->position reshape materializes an extra full-size relayout
+    # that XLA's native lhs-dilated lowering + fusion avoids. Kept as an
+    # exact opt-in for consumers that can use the packed layout
+    # downstream; see PERFORMANCE.md "HiFi-GAN phase-packed upsamples".
+    phase_packed: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -160,6 +220,7 @@ class Generator(nn.Module):
             x = nn.leaky_relu(x, LRELU_SLOPE)
             ch = h.upsample_initial_channel // (2 ** (i + 1))
             x = ConvTranspose1dTorch(ch, k, u, dtype=self.dtype,
+                                     phase_packed=self.phase_packed,
                                      name=f'ups_{i}')(x)
             xs = None
             for j, (rk, rd) in enumerate(zip(h.resblock_kernel_sizes,

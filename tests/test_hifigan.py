@@ -56,6 +56,27 @@ def test_generator_parity():
                                atol=2e-5, rtol=1e-4)
 
 
+def test_generator_parity_phase_packed():
+    """phase_packed upsample convs (dense block conv emitting all output
+    phases as packed channels, no zero-inserted rows on the MXU) must
+    match the reference transposed convs exactly — covers k=16/s=8 and
+    k=4/s=2."""
+    ref_models = _load_ref_models()
+    torch.manual_seed(0)
+    tgen = ref_models.Generator(AttrDict(SMALL)).eval()
+    cfg = HiFiGANConfig.from_json(dict(SMALL))
+    jgen = Generator(cfg, phase_packed=True)
+
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((2, 20, 80)).astype(np.float32)
+    params = hifigan_torch_to_flax(tgen.state_dict(), cfg)
+    with torch.no_grad():
+        t_wav = tgen(torch.tensor(mel.transpose(0, 2, 1)))
+    j_wav = jgen.apply(params, jnp.array(mel))
+    np.testing.assert_allclose(np.array(j_wav), t_wav.numpy()[:, 0, :],
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_generator_parity_after_remove_weight_norm():
     """Conversion must equal the reference's inference path
     (remove_weight_norm() then forward, models.py:120-127)."""
