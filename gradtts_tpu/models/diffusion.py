@@ -89,6 +89,24 @@ def ffold_kernel(w):
     return wk.reshape(2, kt, 2 * ci, 2 * co)
 
 
+def half_major_perm(ci: int) -> np.ndarray:
+    """Input-channel row permutation mapping the HALF-MAJOR folded order
+    (half, phase, c) onto the standard folded order (phase, ci) with
+    ci = half * ci/2 + c. Used at the folded ups level: the skip concat
+    arrives as [fold(h) | fold(skip)] (half-major) and the kernel rows
+    are permuted at trace time instead of interleaving 63 MB of data —
+    the freq_fold-of-concat transposes cost ~0.7 ms/fwd on v5e
+    (round-4 profile)."""
+    half_sz = ci // 2
+    idx = np.zeros(2 * ci, np.int32)
+    for half in range(2):
+        for p in range(2):
+            for c in range(half_sz):
+                idx[half * ci + p * half_sz + c] = \
+                    p * ci + half * half_sz + c
+    return idx
+
+
 def ffold_conv(xs, wk, stride_t: int = 1, pad_t: int = 1):
     """'SAME' 3x3 conv in F-folded space: pad one block in F, slide the
     2-block kernel, and take each output phase's shifted window. xs is
@@ -241,12 +259,16 @@ class Block(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask, fold: bool = False):
+    def __call__(self, x, mask, fold: bool = False,
+                 half_major: bool = False):
         if fold:
             ci = x.shape[-1] // 2
             w, b = _ConvParamHolder((3, 3, ci, self.dim_out), name='conv')()
+            wk = ffold_kernel(w)
+            if half_major:
+                wk = wk[:, :, jnp.asarray(half_major_perm(ci)), :]
             h = ffold_conv((x * mask).astype(self.dtype),
-                           ffold_kernel(w).astype(self.dtype))
+                           wk.astype(self.dtype))
             h = h + jnp.tile(b, 2).astype(self.dtype)
             h = FusedGroupNormMish(self.dim_out, self.groups, name='norm')(
                 h, mask.astype(jnp.float32), phases=2)
@@ -267,9 +289,10 @@ class ResnetBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask, time_emb, fold: bool = False):
+    def __call__(self, x, mask, time_emb, fold: bool = False,
+                 half_major: bool = False):
         h = Block(self.dim_out, self.groups, self.dtype,
-                  name='block1')(x, mask, fold=fold)
+                  name='block1')(x, mask, fold=fold, half_major=half_major)
         temb = nn.Dense(self.dim_out, name='mlp_dense')(mish(time_emb))
         if fold:
             temb = jnp.tile(temb, 2)  # (f_phase, c) channel order
@@ -281,11 +304,17 @@ class ResnetBlock(nn.Module):
                 w, b = _ConvParamHolder((1, 1, self.dim, self.dim_out),
                                         name='res_conv')()
                 xm = (x * mask).astype(self.dtype)
-                bb, f2, t, _ = xm.shape
-                xr = xm.reshape(bb, f2, t, 2, self.dim)
-                res = jnp.einsum('bftpc,co->bftpo', xr,
-                                 w[0, 0].astype(self.dtype))
-                res = res.reshape(bb, f2, t, 2 * self.dim_out) \
+                # block-diagonal [2Ci, 2Co] matmul instead of a 5-D
+                # phase-reshape einsum: the reshape halves the minor dim
+                # below the 128 lanes and cost a relayout copy per call
+                # (round-4 profile); 2x the (cheap 1x1) MACs, zero copies
+                w2 = jnp.kron(jnp.eye(2, dtype=w.dtype), w[0, 0])
+                if half_major:
+                    w2 = w2[jnp.asarray(half_major_perm(self.dim))]
+                res = jnp.einsum('bftc,co->bfto', xm,
+                                 w2.astype(self.dtype),
+                                 preferred_element_type=jnp.float32)
+                res = res.astype(self.dtype) \
                     + jnp.tile(b, 2).astype(self.dtype)
             else:
                 res = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype,
@@ -540,18 +569,31 @@ class GradLogPEstimator2d(nn.Module):
         h = ResnetBlock(mid_dim, mid_dim, self.groups, self.dtype,
                         name='mid_block2')(h, mask_mid, t_emb)
 
+        def ups_lvl_fold(ind):
+            # the second-to-top level also runs half-lane (dim_in == dim
+            # at F/2): fold it too when its F extent is still even
+            return fold and ind == num_res - 2 \
+                and (self.n_feats // 2) % 2 == 0
+
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out[1:])):
             mask_up = masks.pop()
             top = ind == num_res - 2
-            # the second-to-top level also runs half-lane (dim_in == dim at
-            # F/2): fold it too when its F extent is still even
-            lvl_fold = fold and top and (self.n_feats // 2) % 2 == 0
-            h = jnp.concatenate([h, hiddens.pop()], axis=-1)
+            lvl_fold = ups_lvl_fold(ind)
             if lvl_fold:
-                h = freq_fold(h)
+                # h arrives FOLDED from the previous Upsample(fold_out);
+                # fold only the skip and concat half-major — block1 /
+                # res_conv kernel rows are permuted at trace time
+                # (half_major_perm) instead of interleaving the data,
+                # which cost ~0.7 ms/fwd in transpose copies (round 4)
+                if ind == 0:  # num_res == 2: h comes from mid, unfolded
+                    h = freq_fold(h)
+                h = jnp.concatenate([h, freq_fold(hiddens.pop())], axis=-1)
+            else:
+                h = jnp.concatenate([h, hiddens.pop()], axis=-1)
             h = ResnetBlock(dim_out * 2, dim_in, self.groups, self.dtype,
                             name=f'ups_{ind}_res1')(h, mask_up, t_emb,
-                                                    fold=lvl_fold)
+                                                    fold=lvl_fold,
+                                                    half_major=lvl_fold)
             h = ResnetBlock(dim_in, dim_in, self.groups, self.dtype,
                             name=f'ups_{ind}_res2')(h, mask_up, t_emb,
                                                     fold=lvl_fold)
@@ -561,8 +603,12 @@ class GradLogPEstimator2d(nn.Module):
             h = h * mask_up
             if lvl_fold:
                 h = freq_unfold(h, dim_in)
+            # emit folded directly when the NEXT ups level runs folded
+            # (it consumes the (phase, c) layout natively) or at the top
+            # (final_block is folded)
             h = Upsample(dim_in, self.dtype,
-                         name=f'ups_{ind}_up')(h, fold_out=fold and top)
+                         name=f'ups_{ind}_up')(
+                h, fold_out=(fold and top) or ups_lvl_fold(ind + 1))
 
         h = Block(self.dim, self.groups, self.dtype,
                   name='final_block')(h, m, fold=fold)
@@ -571,11 +617,14 @@ class GradLogPEstimator2d(nn.Module):
                                     name='final_conv')()
             hm = (h * m).astype(self.dtype)
             bb, f2, tt, _ = hm.shape
-            hr = hm.reshape(bb, f2, tt, 2, self.dim)
-            out = jnp.einsum('bftpc,co->bftpo', hr,
-                             w[0, 0].astype(self.dtype))[..., 0]
-            out = out + b.astype(self.dtype)          # [B, F2, T, 2]
-            out = (out * m).astype(jnp.float32)
+            # block-diagonal [2C, 2] matmul keeps the folded layout (the
+            # 5-D phase reshape cost a relayout copy; round-4 profile) —
+            # output channel p IS the phase
+            w2 = jnp.kron(jnp.eye(2, dtype=w.dtype), w[0, 0])  # [2C, 2]
+            out = jnp.einsum('bftc,co->bfto', hm, w2.astype(self.dtype),
+                             preferred_element_type=jnp.float32)
+            out = out.astype(self.dtype) + b.astype(self.dtype)
+            out = (out * m).astype(jnp.float32)       # [B, F2, T, 2]
             # unfold phases back into F and emit [B, T, F]
             return out.transpose(0, 2, 1, 3).reshape(bb, tt, 2 * f2)
         out = nn.Conv(1, (1, 1), dtype=self.dtype, name='final_conv')(h * m)
