@@ -192,12 +192,16 @@ def phase_drift_eval(B=8, TX=128, TY=512):
         jax.jit(fn2), lambda s: (params, y, eps,
                                  jnp.full((B,), 0.3 + 1e-4 * s,
                                           jnp.float32)))
-    report('hutchinson_drift_eval_B8_T512', f2 - f1, b2 - b1,
-           max(sec2 - sec1, 1e-9),
+    # differencing two tunnel-jittery measurements can go non-positive;
+    # fall back to the FLOP-ratio split of the 2-eval time in that case
+    d_sec = sec2 - sec1
+    if d_sec <= 0.1 * sec1:
+        d_sec = sec2 * (f2 - f1) / max(f2, 1.0)
+    report('hutchinson_drift_eval_B8_T512', f2 - f1, b2 - b1, d_sec,
            'one jvp drift+div eval (difference of 2-eval and 1-eval '
            'programs); prep (encoder+MAS) measured as the 1-eval program '
            'minus this')
-    return (f1, b1, sec1), (f2 - f1, b2 - b1, sec2 - sec1)
+    return (f1, b1, sec1), (f2 - f1, b2 - b1, d_sec)
 
 
 def phase_synthesis(B=8, TX=128, Y=768, n_steps=10):
