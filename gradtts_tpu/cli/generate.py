@@ -35,7 +35,8 @@ def main(argv=None):
     parser.add_argument('--sampler', default='euler',
                         choices=['euler', 'dpm'],
                         help='dpm = multistep exponential integrator, '
-                             '~2.5x fewer steps for equal ODE error')
+                             'fewer steps for equal ODE error (~6-8 dpm '
+                             'steps match 10 euler on trained weights)')
     parser.add_argument('--plots', action='store_true',
                         help='save generated/reference mel heatmaps')
     parser.add_argument('--cpu', action='store_true')

@@ -156,7 +156,9 @@ def synthesize(model: GradTTS, params, x, x_lengths, n_timesteps,
 
     ``sampler``: 'euler' (reference parity; 'stoc' selects its SDE branch)
     or 'dpm' — the multistep exponential integrator
-    (reverse_diffusion_dpm), ~2.5x fewer steps for equal ODE error.
+    (reverse_diffusion_dpm): on trained weights, ~6-8 DPM steps match
+    10 Euler steps and DPM-10 has ~3-5x less ODE error than Euler-10
+    (tests/test_dpm_sampler.py).
 
     ``fused_attention``: use the Pallas flash-style attention kernel inside
     the U-Net (ops/pallas/linear_attention.py). Default (None) enables it
