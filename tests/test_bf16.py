@@ -112,6 +112,38 @@ def test_train_trajectory_bf16_tracks_f32(models_and_params):
     assert final_dev < 0.05, f'bf16 final loss deviates {final_dev:.3f}'
 
 
+def test_train_step_fused_attention_matches_jnp(models_and_params):
+    """A full train step with the Pallas fused-attention kernel (forward
+    + round-4 streaming backward, interpret mode on CPU) must produce
+    the same losses and updated params as the jnp attention path."""
+    from gradtts_tpu.train.state import (
+        init_state, make_optimizer, make_train_step,
+    )
+    m32, _m16, params, x, xl, y, yl = models_and_params
+    batch = {'x': x, 'x_lengths': xl, 'y': y, 'y_lengths': yl}
+
+    def run(fused):
+        opt = make_optimizer(1e-3)
+        state = init_state(params, opt)
+        step = jax.jit(make_train_step(m32, opt, out_size=16,
+                                       fused_attention=fused))
+        state, metrics = step(state, batch, jax.random.PRNGKey(7))
+        return state, metrics
+
+    s_jnp, m_jnp = run(False)
+    s_fused, m_fused = run(True)
+    for k in m_jnp:
+        np.testing.assert_allclose(float(m_fused[k]), float(m_jnp[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+    leaves_a = jax.tree_util.tree_leaves(s_jnp.params)
+    leaves_b = jax.tree_util.tree_leaves(s_fused.params)
+    for a, b in zip(leaves_a, leaves_b):
+        # f32 reassociation between the kernel and jnp contractions,
+        # amplified by the Adam rescale: allow ~1e-4 absolute
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=1e-4)
+
+
 def test_train_step_bf16_grads(models_and_params):
     """Regression: the full train step (value_and_grad through the bf16
     U-Net incl. the lhs-dilated Upsample conv) must compile and produce
