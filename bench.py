@@ -34,8 +34,9 @@ import jax
 import jax.numpy as jnp
 
 # Break-even framing for the ">=3x A100" north-star claim (BASELINE.md):
-# at the round-4 chip throughput of ~928 audio-s/s, the claim fails only
-# if real A100 torch Grad-TTS exceeds 928/3 = 309 audio-s/s — i.e. 7.7x
+# at the round-4 driver-captured chip throughput of 922 audio-s/s
+# (BENCH_r04.json; run-to-run tunnel spread ~0.7%), the claim fails only
+# if real A100 torch Grad-TTS exceeds 922/3 = 307 audio-s/s — i.e. 7.7x
 # this estimate. The measured same-host CPU anchor
 # (tools/baseline_anchor.py: reference torch 1.16 audio-s/s on 2 CPUs)
 # bounds how implausible that is; see PERFORMANCE.md "Break-even analysis".

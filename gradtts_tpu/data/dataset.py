@@ -367,10 +367,24 @@ class DeviceMelCollate:
             xb, yb = self.base.shapes_for(x_max, int(y_lengths.max()))
         # bucketed padded-audio length such that frames(S) == yb
         S = (yb - 1) * hop + n_fft
+        # shapes may come from global (cross-host) item_lengths metadata:
+        # verify every local item fits, mirroring BatchCollate's check —
+        # otherwise a header/decoded-length mismatch surfaces as an opaque
+        # numpy broadcast error below instead of this descriptive one
+        if shapes is not None and (x_max > xb or int(y_lengths.max()) > yb):
+            raise ValueError(
+                f'provided batch shapes {shapes} smaller than local '
+                f'maxima ({x_max}, {int(y_lengths.max())}) — '
+                'item_lengths metadata disagrees with actual items')
         audio = np.zeros((B, S), np.float32)
         for i, item in enumerate(batch):
             a = np.pad(np.asarray(item['audio'], np.float32), (pad, pad),
                        mode='reflect')
+            if a.shape[-1] > S:
+                raise ValueError(
+                    f'item {i}: padded audio length {a.shape[-1]} exceeds '
+                    f'the {S}-sample bucket — item_lengths metadata '
+                    'disagrees with actual items')
             audio[i, :a.shape[-1]] = a
         # y stays a device array (tail frames zeroed in-jit): no host
         # round trip — the training step consumes it where it lives, and

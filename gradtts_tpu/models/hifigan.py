@@ -109,7 +109,9 @@ class ConvTranspose1dTorch(nn.Module):
     """torch ConvTranspose1d(in, out, k, stride u, padding (k-u)//2).
 
     Two mathematically identical lowerings:
-    - ``phase_packed=True`` (default): a dense width-~(k/u + 1) conv over
+    - ``phase_packed=True`` (opt-in; measured SLOWER inside the full
+      generator on v5e — see PERFORMANCE.md "phase-packed upsamples" —
+      so the default is False): a dense width-~(k/u + 1) conv over
       input blocks emitting all u output phases as packed channels, then
       a contiguous reshape to positions — no zero-inserted rows on the
       MXU (the lhs-dilated form feeds the MXU an input that is (u-1)/u

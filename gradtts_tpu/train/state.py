@@ -60,10 +60,20 @@ def make_train_step(model, optimizer, out_size: Optional[int],
     'data' and XLA inserts the gradient psum automatically. ``remat``
     rematerializes the U-Net in the backward pass (see compute_loss).
 
-    ``fused_attention`` defaults to on for TPU backends: since round 4 the
-    Pallas attention kernel has a real streaming backward (two sweeps over
-    (x, dy) instead of recomputing the jnp forward), measured faster than
-    the jnp path in the full train step (17.6 -> 17.0 ms at B16 on v5e).
+    ``fused_attention`` defaults to on for single-device TPU backends:
+    since round 4 the Pallas attention kernel has a real streaming backward
+    (two sweeps over (x, dy) instead of recomputing the jnp forward),
+    measured faster than the jnp path in the full train step (17.6 -> 17.0
+    ms at B16 on v5e). Under a multi-device mesh it defaults OFF because a
+    ``pallas_call`` inside pjit has no GSPMD partitioning rule — XLA would
+    have to all-gather the sharded batch onto every device to run it.
+    The sharded generate path (nbest/sharded synthesis) CAN use it because
+    it wraps the whole model call in ``shard_map``, where each device
+    traces its own per-shard pallas_call on local shapes; the train step
+    instead relies on pjit's automatic gradient psum, so wrapping it in
+    shard_map would mean hand-writing the cross-device gradient reduction.
+    Pass ``fused_attention=True`` explicitly only with a shard_map-style
+    caller.
     """
     from gradtts_tpu.models.tts import compute_loss
 

@@ -74,6 +74,7 @@ def test_synthesize_bf16_finite_and_close(models_and_params):
     assert np.abs(d32 - d16).max() / scale < 0.25
 
 
+@pytest.mark.slow
 def test_train_trajectory_bf16_tracks_f32(models_and_params):
     """Multi-step convergence check: 200 train steps from identical init
     with identical PRNG streams — bf16 loss trajectories must track f32

@@ -81,6 +81,7 @@ def test_synthesize_dpm_sampler(setup):
     assert np.all(np.isfinite(d))
 
 
+@pytest.mark.slow
 def test_dpm_fidelity_on_trained_weights():
     """Graduate the DPM claim from random weights: train the tiny model to
     convergence on a synthetic deterministic corpus (each token maps to a
