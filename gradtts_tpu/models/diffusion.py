@@ -383,10 +383,16 @@ class LinearAttention(nn.Module):
         w_out, b_out = _ConvParamHolder((1, 1, hidden, self.dim),
                                         name='to_out')()
         if fused and rezero_g is not None:
+            # fused=True -> custom_vjp kernel (training / synthesis);
+            # fused='jvp' -> the custom_jvp twin for forward-mode callers
+            # (the Hutchinson likelihood engine). Same primal math.
             from gradtts_tpu.ops.pallas.linear_attention import (
-                fused_linear_attention_rezero)
+                fused_linear_attention_rezero,
+                fused_linear_attention_rezero_jvp)
+            fn = (fused_linear_attention_rezero_jvp if fused == 'jvp'
+                  else fused_linear_attention_rezero)
             wf = w_qkv[0, 0]
-            return fused_linear_attention_rezero(
+            return fn(
                 x, wf[:, :hidden], wf[:, hidden:2 * hidden],
                 wf[:, 2 * hidden:], w_out[0, 0], b_out, rezero_g,
                 self.dim_head, phases)

@@ -301,11 +301,22 @@ def compute_loss(model: GradTTS, params, key, x, x_lengths, y, y_lengths,
     return LossResult(dur, prior, diff, attn)
 
 
-def get_score_fn(model: GradTTS, params, x, x_lengths, y, y_lengths, spk=None):
+def get_score_fn(model: GradTTS, params, x, x_lengths, y, y_lengths, spk=None,
+                 fused_attention=None):
     """Build a score closure for a (text hypothesis, real mel) pair
     (parity: tts.py:197-254). Returns (score_fn, mu_y, spk_vec, y_mask)
     where score_fn(x_t, t) evaluates the trained estimator conditioned on
-    the MAS-aligned text prior."""
+    the MAS-aligned text prior.
+
+    ``fused_attention`` defaults to ``'jvp'`` on TPU backends — the
+    streaming Pallas attention with a ``custom_jvp`` rule, which the
+    Hutchinson likelihood engine differentiates with ``jax.jvp``
+    (the custom_vjp kernel can't serve forward mode; the jnp path pays
+    ~8 full-size HBM tensors per drift eval). Pass ``False`` to force the
+    jnp attention."""
+    if fused_attention is None:
+        from gradtts_tpu.ops.pallas.linear_attention import _on_tpu
+        fused_attention = 'jvp' if _on_tpu() else False
     mu_x, logw, x_mask, spk_vec = model.apply(
         params, x, x_lengths, spk, method=GradTTS.encode)
     y_max_length = y.shape[1]
@@ -318,6 +329,8 @@ def get_score_fn(model: GradTTS, params, x, x_lengths, y, y_lengths, spk=None):
 
     def score_fn(x_t, t):
         return model.apply(params, x_t, y_mask[..., 0], mu_y, t, spk_vec,
-                           spk_is_embedded=True, method=GradTTS.estimate)
+                           spk_is_embedded=True,
+                           fused_attention=fused_attention,
+                           method=GradTTS.estimate)
 
     return score_fn, mu_y, spk_vec, y_mask

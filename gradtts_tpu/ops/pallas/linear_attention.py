@@ -615,3 +615,285 @@ def _bwd(dim_head, phases, residuals, dy):
 
 
 fused_linear_attention_rezero.defvjp(_fwd, _bwd)
+
+
+# --- streaming custom_jvp entry point (round 5) ----------------------------
+#
+# The Hutchinson likelihood engine (likelihood/ode.py:59) differentiates the
+# drift with ``jax.jvp``; a function carries only ONE custom rule, so the
+# custom_vjp entry above can't serve it and the engine used to fall back to
+# the jnp attention — paying its q/k/exp(k) HBM tensors on the fork's novel
+# workload (config 5, the worst roofline row in PERFORMANCE.md). This entry
+# point computes (y, dy) with the SAME streaming structure as the forward:
+#
+#   sweep 1 (stats):   stream (x, dx) tiles; k/v and their tangents
+#                      dk = dx Wk + x dWk (three small matmuls — cheaper
+#                      than one stacked double-width one) feed ONE shared
+#                      online max; accumulate ctx/den AND their tangents
+#                      dctx = sum dek v^T + ek dv^T, dden = sum dek
+#                      (dek = ek * dk since m is stop-gradient).
+#   (host jnp)         fold primal A = (ctx o BD / den) Wout g and its
+#                      tangent dA (quotient rule on den, product rule on
+#                      Wout/g) into per-batch [H, C] matrices + biases.
+#   sweep 2 (apply):   stream (x, dx) again; y = q A + bias + x and
+#                      dy = q dA + dq A + dbias + dx with dq = dx Wq + x dWq.
+#
+# HBM traffic: two reads of (x, dx) + one write of (y, dy) — the jnp path's
+# jvp materializes q/k/v/exp(k) AND their tangents (~8 full-size tensors).
+# Weight tangents are supported exactly (the Hutchinson probe sends zeros,
+# but custom_jvp instantiates them — the extra matmuls are depth-C/H and
+# negligible).
+
+
+def _jvp_stats_kernel(x_ref, dx_ref, wk_ref, dwk_ref, wv_ref, dwv_ref,
+                      ctx_ref, den_ref, mout_ref, dctx_ref, dden_ref,
+                      m_scr, acc_scr, d_scr, dacc_scr, dd_scr,
+                      *, n_total: int, n_tile: int, phases: int):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, _NEG)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+        d_scr[...] = jnp.zeros_like(d_scr)
+        dacc_scr[...] = jnp.zeros_like(dacc_scr)
+        dd_scr[...] = jnp.zeros_like(dd_scr)
+
+    x = x_ref[0]                                   # [Nt, phases*C]
+    dx = dx_ref[0]
+    k = jnp.dot(x, wk_ref[...], preferred_element_type=jnp.float32)
+    dk = (jnp.dot(x, dwk_ref[...], preferred_element_type=jnp.float32)
+          + jnp.dot(dx, wk_ref[...], preferred_element_type=jnp.float32))
+    v = jnp.dot(x, wv_ref[...], preferred_element_type=jnp.float32)
+    dv = (jnp.dot(x, dwv_ref[...], preferred_element_type=jnp.float32)
+          + jnp.dot(dx, wv_ref[...], preferred_element_type=jnp.float32))
+    H = k.shape[-1] // phases
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (k.shape[0], H), 0) \
+        + t * n_tile
+    valid = pos < n_total                          # [Nt, H]
+
+    m_old = m_scr[0]
+    ks = [k[:, p * H:(p + 1) * H] for p in range(phases)]
+    tile_max = jnp.max(jnp.where(valid, ks[0], _NEG), axis=0)
+    for kp in ks[1:]:
+        tile_max = jnp.maximum(
+            tile_max, jnp.max(jnp.where(valid, kp, _NEG), axis=0))
+    m_new = jnp.maximum(m_old, tile_max)
+    alpha = jnp.exp(m_old - m_new)                 # [H]
+    m_scr[0] = m_new
+
+    d_new = d_scr[0] * alpha
+    acc_new = acc_scr[...] * alpha[:, None]
+    dd_new = dd_scr[0] * alpha
+    dacc_new = dacc_scr[...] * alpha[:, None]
+    for p in range(phases):
+        sl = slice(p * H, (p + 1) * H)
+        ek = jnp.where(valid, jnp.exp(ks[p] - m_new[None, :]), 0.0)
+        dek = jnp.where(valid, ek * dk[:, sl], 0.0)  # m stop-grad
+        vp = jnp.where(valid, v[:, sl], 0.0)       # padded rows may be NaN
+        dvp = jnp.where(valid, dv[:, sl], 0.0)
+        d_new = d_new + jnp.sum(ek, axis=0)
+        dd_new = dd_new + jnp.sum(dek, axis=0)
+        acc_new = acc_new + jax.lax.dot_general(
+            ek, vp, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)    # [H, H]
+        dacc_new = dacc_new + jax.lax.dot_general(
+            dek, vp, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dacc_new = dacc_new + jax.lax.dot_general(
+            ek, dvp, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    d_scr[0] = d_new
+    acc_scr[...] = acc_new
+    dd_scr[0] = dd_new
+    dacc_scr[...] = dacc_new
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _emit():
+        ctx_ref[0] = acc_scr[...]
+        den_ref[0] = d_scr[...]
+        mout_ref[0] = m_scr[...]
+        dctx_ref[0] = dacc_scr[...]
+        dden_ref[0] = dd_scr[...]
+
+
+def _jvp_apply_kernel(x_ref, dx_ref, wq_ref, dwq_ref, a_ref, da_ref,
+                      bias_ref, dbias_ref, y_ref, dy_ref):
+    x = x_ref[0]                                   # [Nt, C]
+    dx = dx_ref[0]
+    q = jnp.dot(x, wq_ref[...], preferred_element_type=jnp.float32)
+    dq = (jnp.dot(x, dwq_ref[...], preferred_element_type=jnp.float32)
+          + jnp.dot(dx, wq_ref[...], preferred_element_type=jnp.float32))
+    qc = q.astype(x.dtype)
+    dqc = dq.astype(x.dtype)
+    y = jnp.dot(qc, a_ref[0], preferred_element_type=jnp.float32)
+    y = y + bias_ref[...] + x.astype(jnp.float32)
+    dy = (jnp.dot(qc, da_ref[0], preferred_element_type=jnp.float32)
+          + jnp.dot(dqc, a_ref[0], preferred_element_type=jnp.float32))
+    dy = dy + dbias_ref[...] + dx.astype(jnp.float32)
+    y_ref[0] = y.astype(y_ref.dtype)
+    dy_ref[0] = dy.astype(dy_ref.dtype)
+
+
+def _jvp_pallas(x, dx, w_q, dwq, w_k, dwk, w_v, dwv, w_out, dwout,
+                b_out, dbout, g, dg, dim_head: int, phases: int,
+                interpret: bool):
+    B, F, T, C = x.shape                           # C = phases * C_real
+    H = w_q.shape[1]
+    PH = phases * H
+    C_real = C // phases
+    N = F * T
+    xr = x.reshape(B, N, C)
+    dxr = dx.reshape(B, N, C)
+    # sweeps read (x, dx): halve the per-row budget vs the forward
+    n_tile = _pick_n_tile(N, 2 * C, x.dtype)
+    grid = (B, pl.cdiv(N, n_tile))
+    dt = x.dtype
+
+    if phases == 2:
+        wk_in, dwk_in = _blockdiag2(w_k), _blockdiag2(dwk)
+        wv_in, dwv_in = _blockdiag2(w_v), _blockdiag2(dwv)
+    else:
+        wk_in, dwk_in, wv_in, dwv_in = w_k, dwk, w_v, dwv
+
+    wspec = pl.BlockSpec((C, PH), lambda b, t: (0, 0))
+    ctx, den, m, dctx, dden = pl.pallas_call(
+        functools.partial(_jvp_stats_kernel, n_total=N, n_tile=n_tile,
+                          phases=phases),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n_tile, C), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, n_tile, C), lambda b, t: (b, t, 0)),
+            wspec, wspec, wspec, wspec,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, H, H), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, 1, H), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, 1, H), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, H, H), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, 1, H), lambda b, t: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, H), jnp.float32),       # running max
+            pltpu.VMEM((H, H), jnp.float32),       # ctx accumulator
+            pltpu.VMEM((1, H), jnp.float32),       # denominator
+            pltpu.VMEM((H, H), jnp.float32),       # tangent ctx
+            pltpu.VMEM((1, H), jnp.float32),       # tangent denominator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary')),
+        interpret=interpret,
+    )(xr, dxr, wk_in.astype(dt), dwk_in.astype(dt), wv_in.astype(dt),
+      dwv_in.astype(dt))
+
+    # host fold: primal A exactly as the forward; tangent by quotient/
+    # product rules (m is stop-gradient so it contributes nothing)
+    bd = jnp.asarray(_head_blockdiag(H, dim_head))
+    denb = den.reshape(B, H)
+    ddenb = dden.reshape(B, H)
+    ctx2n = (ctx * bd[None]) / denb[:, :, None]                  # [B, H, H]
+    dctx2n = ((dctx * bd[None]) / denb[:, :, None]
+              - ctx2n * (ddenb / denb)[:, :, None])
+    w_out32 = w_out.astype(jnp.float32)
+    dwout32 = dwout.astype(jnp.float32)
+    a_pre = jnp.einsum('bde,ec->bdc', ctx2n, w_out32)            # [B, H, Cr]
+    da_pre = (jnp.einsum('bde,ec->bdc', dctx2n, w_out32)
+              + jnp.einsum('bde,ec->bdc', ctx2n, dwout32))
+    a_full = a_pre * g
+    da_full = da_pre * g + a_pre * dg
+    bias = (b_out.astype(jnp.float32) * g).reshape(1, -1)
+    dbias = (dbout.astype(jnp.float32) * g
+             + b_out.astype(jnp.float32) * dg).reshape(1, -1)
+
+    if phases == 2:
+        wq_in, dwq_in = _blockdiag2(w_q), _blockdiag2(dwq)
+        a_in = jax.vmap(_blockdiag2)(a_full)                     # [B, PH, C]
+        da_in = jax.vmap(_blockdiag2)(da_full)
+        bias = jnp.tile(bias, (1, 2))
+        dbias = jnp.tile(dbias, (1, 2))
+    else:
+        wq_in, dwq_in, a_in, da_in = w_q, dwq, a_full, da_full
+
+    y, dy = pl.pallas_call(
+        _jvp_apply_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n_tile, C), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, n_tile, C), lambda b, t: (b, t, 0)),
+            wspec, wspec,
+            pl.BlockSpec((1, PH, C), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, PH, C), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, C), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, t: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n_tile, C), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, n_tile, C), lambda b, t: (b, t, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, C), dt),
+            jax.ShapeDtypeStruct((B, N, C), dt),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary')),
+        interpret=interpret,
+    )(xr, dxr, wq_in.astype(dt), dwq_in.astype(dt), a_in.astype(dt),
+      da_in.astype(dt), bias, dbias)
+    return y.reshape(B, F, T, C), dy.reshape(B, F, T, C)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(7, 8))
+def fused_linear_attention_rezero_jvp(x, w_q, w_k, w_v, w_out, b_out, g,
+                                      dim_head: int = 32, phases: int = 1):
+    """Forward-mode twin of :func:`fused_linear_attention_rezero`.
+
+    Same primal (identical streaming forward), but carries a
+    ``jax.custom_jvp`` rule instead of the custom_vjp — for callers that
+    need forward-mode AD through the attention, i.e. the Hutchinson
+    likelihood engine (likelihood/ode.py:59). The tangent is computed by
+    two streaming sweeps over (x, dx) — see the section comment above.
+    NOT reverse-mode differentiable; training uses the custom_vjp entry.
+    """
+    g = jnp.asarray(g, jnp.float32).reshape(())
+    try:
+        return _forward(x, w_q, w_k, w_v, w_out, b_out, g, dim_head,
+                        phases, interpret=not _on_tpu())[0]
+    except (NotImplementedError, ValueError) as e:
+        global _warned_fallback
+        if not _warned_fallback:
+            _warned_fallback = True
+            import warnings
+            warnings.warn(
+                'fused_linear_attention_rezero_jvp: Pallas path unavailable '
+                f'({type(e).__name__}: {e}); using the jnp reference path',
+                RuntimeWarning)
+        return _reference_phased(x, w_q, w_k, w_v, w_out, b_out, g,
+                                 dim_head, phases)
+
+
+@fused_linear_attention_rezero_jvp.defjvp
+def _fla_jvp(dim_head, phases, primals, tangents):
+    x, w_q, w_k, w_v, w_out, b_out, g = primals
+    dx, dwq, dwk, dwv, dwout, dbout, dg = tangents
+    g32 = jnp.asarray(g, jnp.float32).reshape(())
+    dg32 = jnp.asarray(dg, jnp.float32).reshape(())
+    try:
+        return _jvp_pallas(x, dx, w_q, dwq, w_k, dwk, w_v, dwv,
+                           w_out, dwout, b_out, dbout, g32, dg32,
+                           dim_head, phases, interpret=not _on_tpu())
+    except (NotImplementedError, ValueError):
+        return jax.jvp(
+            lambda *a: _reference_phased(*a, dim_head=dim_head,
+                                         phases=phases),
+            (x, w_q, w_k, w_v, w_out, b_out, g32),
+            (dx, dwq.astype(w_q.dtype), dwk.astype(w_k.dtype),
+             dwv.astype(w_v.dtype), dwout.astype(w_out.dtype),
+             dbout.astype(b_out.dtype), dg32))

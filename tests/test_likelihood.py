@@ -184,3 +184,38 @@ def test_other_sdes_smoke():
         assert lp.shape == (B,)
         z = sde.prior_sampling(jax.random.PRNGKey(0), x.shape)
         assert z.shape == x.shape
+
+
+def test_score_batch_fused_jvp_attention_parity():
+    """End-to-end likelihood score with the streaming custom_jvp attention
+    (get_score_fn(fused_attention='jvp') — the TPU default) vs the jnp
+    attention path: same scores. This is the round-5 fix for config 5
+    paying the jnp attention's HBM tensors in every Hutchinson drift
+    eval."""
+    from gradtts_tpu.models import GradTTS
+    from gradtts_tpu.models.tts import get_score_fn
+
+    HP = dict(n_vocab=40, n_enc_channels=32, filter_channels=64,
+              filter_channels_dp=16, n_heads=2, n_enc_layers=2,
+              n_feats=16, dec_dim=16)
+    model = GradTTS(**HP)
+    Bm, TX, TY = 2, 10, 32
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.integers(1, 40, (Bm, TX)), jnp.int32)
+    xl = jnp.asarray([TX, 7], jnp.int32)
+    y = jnp.asarray(rng.standard_normal((Bm, TY, 16)), jnp.float32)
+    yl = jnp.asarray([TY, 24], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x, xl, y, yl)
+
+    def score(mode):
+        sfn, mu_y, _s, ymask = get_score_fn(model, params, x, xl, y, yl,
+                                            fused_attention=mode)
+        sde = SpeechSDE(beta_min=model.beta_min, beta_max=model.beta_max,
+                        N=1000, mu=mu_y, mask=ymask)
+        fn = get_likelihood_fn(sde, sfn, euler=4)
+        return np.asarray(fn(jax.random.PRNGKey(3), y).score)
+
+    s_jnp = score(False)
+    s_jvp = score('jvp')
+    assert np.all(np.isfinite(s_jvp))
+    np.testing.assert_allclose(s_jvp, s_jnp, rtol=1e-4, atol=1e-3)

@@ -200,3 +200,96 @@ def test_fused_linear_attention_phased_multitile(monkeypatch):
                                            g, 8, 2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+# --- custom_jvp streaming attention (round 5) ------------------------------
+
+
+def _jvp_tangents(seed, C, H):
+    rng = np.random.default_rng(seed)
+    return (jnp.asarray(rng.standard_normal((C, H)) * 0.1, jnp.float32),
+            jnp.asarray(rng.standard_normal((C, H)) * 0.1, jnp.float32),
+            jnp.asarray(rng.standard_normal((C, H)) * 0.1, jnp.float32),
+            jnp.asarray(rng.standard_normal((H, C)) * 0.1, jnp.float32),
+            jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32),
+            jnp.asarray([0.3], jnp.float32))
+
+
+def test_fused_attention_jvp_parity():
+    """(y, dy) from the custom_jvp streaming kernels vs jax.jvp through the
+    jnp reference — full tangents (x AND every weight)."""
+    x, w_q, w_k, w_v, w_out, b_out, g = _la_inputs(7, B=2, F=4, T=12,
+                                                   C=16, H=32)
+    rng = np.random.default_rng(8)
+    dx = jnp.asarray(rng.standard_normal(x.shape), x.dtype)
+    dwq, dwk, dwv, dwo, dbo, dg = _jvp_tangents(9, 16, 32)
+
+    def ref(*a):
+        return la._reference_phased(*a, dim_head=8, phases=1)
+
+    def fused(*a):
+        return la.fused_linear_attention_rezero_jvp(*a, dim_head=8,
+                                                    phases=1)
+
+    g32, dg32 = jnp.float32(0.7), jnp.float32(0.3)
+    y_ref, dy_ref = jax.jvp(ref, (x, w_q, w_k, w_v, w_out, b_out, g32),
+                            (dx, dwq, dwk, dwv, dwo, dbo, dg32))
+    y, dy = jax.jvp(fused, (x, w_q, w_k, w_v, w_out, b_out, g),
+                    (dx, dwq, dwk, dwv, dwo, dbo, dg))
+    scale = float(jnp.abs(dy_ref).max()) + 1e-6
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+    assert float(jnp.abs(dy - dy_ref).max()) / scale < 1e-4
+    # primal-only call agrees with the reference too
+    y2 = fused(x, w_q, w_k, w_v, w_out, b_out, g)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_attention_jvp_phased_x_only(monkeypatch):
+    """phases=2 + multi-tile streaming with a ragged tail, tangent on x
+    only (the Hutchinson engine's exact usage pattern)."""
+    monkeypatch.setattr(la, '_TILE_LIMIT_BYTES', 8 * 32 * 4 * 8)
+    x, w_q, w_k, w_v, w_out, b_out, g = _la_inputs(10, B=1, F=6, T=9,
+                                                   C=16, H=32)
+    b, f, t, c = x.shape
+    xf = x.reshape(b, f // 2, 2, t, c).transpose(0, 1, 3, 2, 4).reshape(
+        b, f // 2, t, 2 * c)
+    rng = np.random.default_rng(11)
+    dxf = jnp.asarray(rng.standard_normal(xf.shape), xf.dtype)
+
+    def ref(xx):
+        return la._reference_phased(xx, w_q, w_k, w_v, w_out, b_out,
+                                    jnp.float32(0.7), 8, 2)
+
+    def fused(xx):
+        return la.fused_linear_attention_rezero_jvp(
+            xx, w_q, w_k, w_v, w_out, b_out, g, 8, 2)
+
+    y_ref, dy_ref = jax.jvp(ref, (xf,), (dxf,))
+    y, dy = jax.jvp(fused, (xf,), (dxf,))
+    scale = float(jnp.abs(dy_ref).max()) + 1e-6
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+    assert float(jnp.abs(dy - dy_ref).max()) / scale < 1e-4
+
+
+def test_fused_attention_jvp_under_jit_and_scan():
+    """The likelihood engine calls jax.jvp inside a lax.scan inside jit —
+    the custom_jvp kernels must trace in that context."""
+    x, w_q, w_k, w_v, w_out, b_out, g = _la_inputs(12, B=1, F=4, T=8,
+                                                   C=16, H=32)
+
+    @jax.jit
+    def run(x):
+        def step(carry, _):
+            def f(xx):
+                return la.fused_linear_attention_rezero_jvp(
+                    xx, w_q, w_k, w_v, w_out, b_out, g, 8, 1)
+            y, dy = jax.jvp(f, (carry,), (jnp.ones_like(carry),))
+            return y * 1e-2, jnp.sum(dy)
+        return jax.lax.scan(step, x, None, length=3)
+
+    out, divs = run(x)
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert np.all(np.isfinite(np.asarray(divs)))
