@@ -87,9 +87,13 @@ class TrainConfig:
     remat_estimator: bool = False
     # extract log-mels on the accelerator (batched STFT+matmul jit) instead
     # of host numpy workers: measured 127 -> 732 utt/s sustained feed on
-    # the 2-CPU bench host (PERFORMANCE.md "Input pipeline"); single-host
-    # only (the per-host sharded pipeline keeps host mels)
-    device_mel: bool = False
+    # the 2-CPU bench host (PERFORMANCE.md "Input pipeline").
+    # None = auto: ON for single-host TPU runs, off elsewhere (a multihost
+    # pod has its full host core count per chip, so host mels feed fine
+    # there and avoid the per-process device detour). True forces it on —
+    # including the per-host sharded multihost loader (covered by
+    # tests/test_distributed_2proc.py); False forces host mels.
+    device_mel: Optional[bool] = None
 
 
 @dataclass(frozen=True)

@@ -430,12 +430,22 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size, collate: BatchCollate,
                  shuffle=True, seed=0, drop_last=True, num_workers=4,
-                 prefetch=2, shard=None, device_mel=False):
+                 prefetch=2, shard=None, device_mel=False,
+                 cache_bytes: int = 1 << 30):
         """``batch_size`` is the GLOBAL batch. ``shard=(index, count)``
         makes this a per-host input pipeline: every host computes the same
         shuffled order (same seed), then loads only its contiguous
         ``batch_size/count`` block of each global batch — pair with
-        ``shard_batch(..., per_host=True)``."""
+        ``shard_batch(..., per_host=True)``.
+
+        ``cache_bytes``: decoded items (audio/mel + token ids) are kept in
+        host memory across epochs up to this budget, so epoch 2+ skips wav
+        decode and tokenization entirely (the reference re-decodes every
+        epoch, data.py:117-122; on the 2-CPU bench host decode+tokenize
+        was the sustained-feed bound — PERFORMANCE.md "Input pipeline").
+        Once the budget is full, remaining items are simply re-fetched
+        (no eviction: with per-epoch reshuffling there is no locality for
+        LRU to exploit). 0 disables caching."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.device_mel = device_mel
@@ -457,6 +467,26 @@ class DataLoader:
                                  f'by shard count {count}')
         self._epoch = 0
         self._lengths = None  # lazy [N, 2] (x_len, y_len) metadata
+        self.cache_bytes = cache_bytes
+        self._cache: Dict[int, Dict] = {}
+        self._cache_size = 0
+
+    def _fetch(self, index: int) -> Dict:
+        """Item fetch with the cross-epoch cache (see __init__)."""
+        item = self._cache.get(index)
+        if item is not None:
+            return item
+        item = (self.dataset.audio_item(index) if self.device_mel
+                else self.dataset[index])
+        if self.cache_bytes:
+            size = sum(v.nbytes for v in item.values()
+                       if hasattr(v, 'nbytes'))
+            # benign race under the thread pool: worst case a few items
+            # overshoot the budget by one item's size
+            if self._cache_size + size <= self.cache_bytes:
+                self._cache[index] = item
+                self._cache_size += size
+        return item
 
     def _item_lengths(self) -> np.ndarray:
         """Per-item (token count, mel frames) for the whole dataset, from
@@ -507,8 +537,7 @@ class DataLoader:
         def produce():
             try:
                 from concurrent.futures import ThreadPoolExecutor
-                fetch = self.dataset.audio_item if self.device_mel \
-                    else self.dataset.__getitem__
+                fetch = self._fetch
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     for idx_batch, shape in zip(batches, shapes):
                         if stop.is_set():

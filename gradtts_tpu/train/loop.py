@@ -125,9 +125,13 @@ def train(cfg: GradTTSConfig, n_epochs: Optional[int] = None,
         # every global batch (same shuffled order everywhere)
         shard = ((jax.process_index(), jax.process_count())
                  if multihost else None)
+        device_mel = cfg.train.device_mel
+        if device_mel is None:  # auto: single-host TPU extracts on-device
+            device_mel = (jax.devices()[0].platform in ('tpu', 'axon')
+                          and not multihost)
         loader = DataLoader(dataset, cfg.train.batch_size, collate,
                             shuffle=True, seed=cfg.train.seed, shard=shard,
-                            device_mel=cfg.train.device_mel and not multihost)
+                            device_mel=device_mel)
 
     try:
         first = next(iter(loader))

@@ -74,6 +74,10 @@ def main():
         'decoder.dec_dim': 16,
         'train.batch_size': 8, 'train.test_size': 1,
         'train.save_every': 1, 'train.use_bf16_compute': False,
+        # exercise the device-mel collate through the per-host sharded
+        # loader: each process extracts its local rows' mels on its own
+        # devices, then the global batch assembles from the local shards
+        'train.device_mel': True,
     })
     mesh = make_mesh(data=4, model=2)
 

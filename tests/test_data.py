@@ -268,3 +268,52 @@ def test_bucket_length():
     assert bucket_length(5, (8, 16)) == 8
     assert bucket_length(9, (8, 16)) == 16
     assert bucket_length(99, (8, 16)) == 16
+
+
+def test_dataloader_caches_items_across_epochs(tmp_path):
+    """Round-5 input-pipeline fix: epoch 2+ must not re-decode audio or
+    re-tokenize text (the reference re-decodes every epoch) — and the
+    cache must respect its byte budget."""
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f'{i}.wav')
+        _write_wav(p, seconds=0.4, seed=i)
+        paths.append(p)
+    filelist = tmp_path / 'list.txt'
+    filelist.write_text('\n'.join(
+        f'{p}|hello world number {i}' for i, p in enumerate(paths)))
+    ds = TextMelDataset(str(filelist), CMUDICT, shuffle=False)
+
+    calls = {'n': 0}
+    orig = TextMelDataset.__getitem__
+
+    class Counting(TextMelDataset):
+        def __getitem__(self, i):
+            calls['n'] += 1
+            return orig(self, i)
+
+    cds = Counting(str(filelist), CMUDICT, shuffle=False)
+    collate = BatchCollate(x_buckets=(64,), y_buckets=(64,))
+    loader = DataLoader(cds, batch_size=3, collate=collate, shuffle=False,
+                        drop_last=False, num_workers=1)
+    a = list(loader)
+    assert calls['n'] == 3
+    b = list(loader)  # second epoch: all cache hits
+    assert calls['n'] == 3
+    np.testing.assert_array_equal(a[0]['y'], b[0]['y'])
+
+    # budget 0 disables caching
+    calls['n'] = 0
+    loader0 = DataLoader(cds, batch_size=3, collate=collate, shuffle=False,
+                         drop_last=False, num_workers=1, cache_bytes=0)
+    list(loader0)
+    list(loader0)
+    assert calls['n'] == 6
+
+    # tiny budget: caches nothing beyond what fits
+    calls['n'] = 0
+    loader1 = DataLoader(cds, batch_size=3, collate=collate, shuffle=False,
+                         drop_last=False, num_workers=1, cache_bytes=1)
+    list(loader1)
+    list(loader1)
+    assert calls['n'] == 6
