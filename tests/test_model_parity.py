@@ -287,3 +287,53 @@ def test_encoder_speaker_upstream_wiring_parity():
                                t_mu.numpy(), atol=2e-5, rtol=1e-5)
     np.testing.assert_allclose(np.array(j_logw).transpose(0, 2, 1),
                                t_logw.numpy(), atol=2e-5, rtol=1e-5)
+
+
+def test_encoder_scan_matches_module_twin():
+    """Round-5 consolidation: the lax.scan Encoder (stacked params, fused
+    qkv/rel-pos matmuls) vs a layer-by-layer module twin built from the
+    retained MultiHeadAttention/FFN modules — same params (the trees are
+    identical by construction), same outputs to f32 tolerance."""
+    from flax import linen as nn
+    from gradtts_tpu.models.layers import ChannelLayerNorm
+    from gradtts_tpu.models.text_encoder import (
+        Encoder, FFN, MultiHeadAttention)
+
+    C, FC, NH, NL, KS = 32, 64, 2, 3, 3
+
+    class TwinEncoder(nn.Module):
+        @nn.compact
+        def __call__(self, x, x_mask):
+            attn_mask = (x_mask[:, None, :, 0:1]
+                         * x_mask[:, None, None, :, 0])
+            for i in range(NL):
+                x = x * x_mask
+                y = MultiHeadAttention(
+                    C, C, NH, window_size=4,
+                    name=f'attn_layers_{i}')(x, attn_mask)
+                x = ChannelLayerNorm(C, name=f'norm_layers_1_{i}')(x + y)
+                y = FFN(C, FC, KS, name=f'ffn_layers_{i}')(x, x_mask)
+                x = ChannelLayerNorm(C, name=f'norm_layers_2_{i}')(x + y)
+            return x * x_mask
+
+    enc = Encoder(C, FC, NH, NL, kernel_size=KS, p_dropout=0.1,
+                  window_size=4)
+    twin = TwinEncoder()
+    rng = np.random.default_rng(3)
+    B, T = 3, 19
+    x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+    lengths = jnp.asarray([T, 11, 4])
+    mask = (jnp.arange(T)[None, :, None]
+            < lengths[:, None, None]).astype(jnp.float32)
+    params = twin.init(jax.random.PRNGKey(0), x, mask)
+    p_scan = enc.init(jax.random.PRNGKey(0), x, mask)
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(p_scan)[0]
+    assert [(jax.tree_util.keystr(p), v.shape) for p, v in flat_a] \
+        == [(jax.tree_util.keystr(p), v.shape) for p, v in flat_b]
+    out_scan = enc.apply(params, x, mask)
+    out_twin = twin.apply(params, x, mask)
+    np.testing.assert_allclose(np.asarray(out_scan), np.asarray(out_twin),
+                               rtol=1e-4, atol=1e-5)
+    # masked tail stays zero
+    assert float(jnp.abs(out_scan[2, 4:]).max()) == 0.0
