@@ -332,21 +332,29 @@ class DeviceMelCollate:
 
     def __init__(self, base: BatchCollate, n_fft=1024, n_mels=80,
                  sample_rate=22050, hop_length=256, win_length=1024,
-                 f_min=0.0, f_max=8000.0):
+                 f_min=0.0, f_max=8000.0, upload_dtype='float32'):
+        """``upload_dtype='int16'`` ships the padded audio batch to the
+        device as PCM16 and converts to float on device — HALF the
+        host->device bytes (PCIe on a real host, the tunnel on this
+        bench host: the measured hard bound of the input pipeline).
+        Exact for PCM16-sourced wavs (load_wav's i/32768 round-trips);
+        float sources see one -96 dB quantization."""
         self.base = base
         self.n_fft, self.n_mels = n_fft, n_mels
         self.sample_rate, self.hop_length = sample_rate, hop_length
         self.win_length, self.f_min, self.f_max = win_length, f_min, f_max
+        self.upload_dtype = upload_dtype
         self.x_buckets = base.x_buckets
         self.y_buckets = base.y_buckets
 
     @classmethod
-    def for_dataset(cls, dataset, base: BatchCollate):
+    def for_dataset(cls, dataset, base: BatchCollate,
+                    upload_dtype='float32'):
         return cls(base, n_fft=dataset.n_fft, n_mels=dataset.n_mels,
                    sample_rate=dataset.sample_rate,
                    hop_length=dataset.hop_length,
                    win_length=dataset.win_length, f_min=dataset.f_min,
-                   f_max=dataset.f_max)
+                   f_max=dataset.f_max, upload_dtype=upload_dtype)
 
     def shapes_for(self, x_max: int, y_max: int):
         return self.base.shapes_for(x_max, y_max)
@@ -376,7 +384,8 @@ class DeviceMelCollate:
                 f'provided batch shapes {shapes} smaller than local '
                 f'maxima ({x_max}, {int(y_lengths.max())}) — '
                 'item_lengths metadata disagrees with actual items')
-        audio = np.zeros((B, S), np.float32)
+        int16 = self.upload_dtype == 'int16'
+        audio = np.zeros((B, S), np.int16 if int16 else np.float32)
         for i, item in enumerate(batch):
             a = np.pad(np.asarray(item['audio'], np.float32), (pad, pad),
                        mode='reflect')
@@ -385,6 +394,8 @@ class DeviceMelCollate:
                     f'item {i}: padded audio length {a.shape[-1]} exceeds '
                     f'the {S}-sample bucket — item_lengths metadata '
                     'disagrees with actual items')
+            if int16:  # exact inverse of load_wav's i/32768 for PCM16
+                a = np.clip(np.round(a * 32768.0), -32768, 32767)
             audio[i, :a.shape[-1]] = a
         # y stays a device array (tail frames zeroed in-jit): no host
         # round trip — the training step consumes it where it lives, and
@@ -431,7 +442,8 @@ class DataLoader:
     def __init__(self, dataset, batch_size, collate: BatchCollate,
                  shuffle=True, seed=0, drop_last=True, num_workers=4,
                  prefetch=2, shard=None, device_mel=False,
-                 cache_bytes: int = 1 << 30):
+                 cache_bytes: int = 1 << 30,
+                 mel_upload_dtype: str = 'float32'):
         """``batch_size`` is the GLOBAL batch. ``shard=(index, count)``
         makes this a per-host input pipeline: every host computes the same
         shuffled order (same seed), then loads only its contiguous
@@ -450,7 +462,8 @@ class DataLoader:
         self.batch_size = batch_size
         self.device_mel = device_mel
         if device_mel and not isinstance(collate, DeviceMelCollate):
-            collate = DeviceMelCollate.for_dataset(dataset, collate)
+            collate = DeviceMelCollate.for_dataset(
+                dataset, collate, upload_dtype=mel_upload_dtype)
         self.collate = collate
         self.shuffle = shuffle
         self.seed = seed

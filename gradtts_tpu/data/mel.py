@@ -118,7 +118,14 @@ def mel_from_padded(y_padded, y_lengths=None, n_fft=1024, num_mels=80,
     accelerator — the host's 2-CPU numpy rfft loop is the measured
     bottleneck of the training input pipeline (see PERFORMANCE.md
     "Input pipeline").
+
+    ``y_padded`` may be int16 PCM (the wire format of
+    ``DeviceMelCollate(upload_dtype='int16')``): it is converted to
+    float32 / 32768 on device, halving the host->device bytes — exact
+    for PCM16-sourced wavs, a -96 dB quantization for float sources.
     """
+    if y_padded.dtype == jnp.int16:
+        y_padded = y_padded.astype(jnp.float32) / 32768.0
     mag = stft_magnitude(y_padded, n_fft, hop_size, win_size)
     basis = jnp.asarray(mel_filterbank(sampling_rate, n_fft, num_mels,
                                        fmin, fmax))

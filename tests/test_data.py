@@ -317,3 +317,27 @@ def test_dataloader_caches_items_across_epochs(tmp_path):
     list(loader1)
     list(loader1)
     assert calls['n'] == 6
+
+
+def test_device_mel_int16_upload_exact_for_pcm16(tmp_path):
+    """upload_dtype='int16' (half the host->device bytes) must reproduce
+    the float32 wire format BIT-EXACTLY for PCM16-sourced wavs: load_wav
+    yields i/32768, and the collate's round(a*32768) recovers i before
+    the on-device /32768 conversion."""
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f'i16_{i}.wav')
+        _write_wav(p, seconds=0.4 + 0.1 * i, seed=20 + i)
+        paths.append(p)
+    filelist = tmp_path / 'list.txt'
+    filelist.write_text('\n'.join(
+        f'{p}|int sixteen test {i}' for i, p in enumerate(paths)))
+    ds = TextMelDataset(str(filelist), CMUDICT, shuffle=False)
+    collate = BatchCollate(x_buckets=(64,), y_buckets=(64, 128))
+    f32 = list(DataLoader(ds, 4, collate, shuffle=False, drop_last=True,
+                          num_workers=1, device_mel=True))[0]
+    i16 = list(DataLoader(ds, 4, collate, shuffle=False, drop_last=True,
+                          num_workers=1, device_mel=True,
+                          mel_upload_dtype='int16'))[0]
+    np.testing.assert_array_equal(np.asarray(f32['y']),
+                                  np.asarray(i16['y']))

@@ -51,7 +51,7 @@ def make_corpus(root: str, n: int = 64, sr: int = 22050):
 
 
 def run(filelist: str, device_mel: bool, cache_bytes: int, epochs: int = 3,
-        batch_size: int = 16):
+        batch_size: int = 16, upload_dtype: str = 'float32'):
     import jax
     import jax.numpy as jnp
     from gradtts_tpu.data.dataset import BatchCollate, DataLoader, \
@@ -60,14 +60,16 @@ def run(filelist: str, device_mel: bool, cache_bytes: int, epochs: int = 3,
     ds = TextMelDataset(filelist, 'resources/cmu_dictionary', shuffle=False)
     loader = DataLoader(ds, batch_size, BatchCollate(), shuffle=True,
                         num_workers=4, device_mel=device_mel,
-                        cache_bytes=cache_bytes)
+                        cache_bytes=cache_bytes,
+                        mel_upload_dtype=upload_dtype)
 
     @jax.jit
     def consume(acc, y):
         return acc + jnp.sum(y)
 
     label = (f"{'device' if device_mel else 'host'}_mel_cache_"
-             f"{'on' if cache_bytes else 'off'}")
+             f"{'on' if cache_bytes else 'off'}"
+             + ('_i16' if upload_dtype == 'int16' else ''))
     rates = []
     for epoch in range(epochs):
         acc = jnp.zeros((), jnp.float32)
@@ -94,3 +96,4 @@ if __name__ == '__main__':
     for device_mel in (False, True):
         for cache in (0, 1 << 30):
             run(filelist, device_mel, cache)
+    run(filelist, True, 1 << 30, upload_dtype='int16')

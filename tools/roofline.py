@@ -55,7 +55,99 @@ def timed_per_call(jfn, args_for, k=8):
 def cost_of(lowered_compiled):
     ca = lowered_compiled.cost_analysis()
     d = ca[0] if isinstance(ca, (list, tuple)) else ca
-    return float(d.get('flops', 0.0)), float(d.get('bytes accessed', 0.0))
+    flops = float(d.get('flops', 0.0))
+    try:
+        bytes_ = hlo_bytes(lowered_compiled)
+    except Exception:
+        bytes_ = float(d.get('bytes accessed', 0.0))
+    return flops, bytes_
+
+
+# --- HBM bytes from the optimized HLO text (round 5) -----------------------
+#
+# ``cost_analysis()['bytes accessed']`` overcounts: broadcast operands are
+# billed at their POST-broadcast size and an operand used twice inside one
+# fusion is billed twice — four PERFORMANCE.md roofline rows exceeded 100%
+# of physical bandwidth, which is impossible. This estimator walks the
+# optimized HLO entry computation instead and bills, per top-level
+# instruction: its result buffer (one HBM write) plus each UNIQUE operand
+# at the size of the buffer the PRODUCING instruction materializes (a
+# broadcast fused into a consumer reads the small pre-broadcast buffer).
+# Reads of one buffer by K different fusions count K times — that is real
+# traffic. Known undercounts (shared with cost_analysis, handled by the
+# compose method): while/scan bodies are billed once, not per trip.
+
+import re
+
+_DTYPE_BYTES = {'f64': 8, 'f32': 4, 'f16': 2, 'bf16': 2, 's64': 8,
+                'u64': 8, 's32': 4, 'u32': 4, 's16': 2, 'u16': 2,
+                's8': 1, 'u8': 1, 'pred': 1, 'c64': 8, 'c128': 16,
+                'f8e4m3fn': 1, 'f8e5m2': 1, 's4': 1, 'u4': 1}
+
+_SHAPE_RE = re.compile(r'([a-z0-9]+)\[([0-9,]*)\]')
+_INST_RE = re.compile(r'(?:ROOT\s+)?%?([\w\.\-]+)\s+=\s+(.*)$')
+_TYPE_OP_RE = re.compile(
+    r'((?:\([^)]*\))|(?:[a-z0-9]+\[[0-9,]*\](?:\{[^}]*\})?))\s+'
+    r'([\w\-]+)\(')
+
+# instructions that move no HBM bytes themselves (aliases / metadata)
+_FREE_OPS = {'parameter', 'constant', 'tuple', 'get-tuple-element',
+             'bitcast', 'after-all', 'opt-barrier'}
+
+
+def _shape_bytes(text: str) -> int:
+    total = 0
+    for dt, dims in _SHAPE_RE.findall(text):
+        size = _DTYPE_BYTES.get(dt)
+        if size is None:
+            continue
+        n = 1
+        for d in dims.split(','):
+            if d:
+                n *= int(d)
+        total += n * size
+    return total
+
+
+def hlo_bytes(lowered_compiled) -> float:
+    txt = lowered_compiled.as_text()
+    sizes = {}
+    insts = []
+    in_entry = False
+    for line in txt.splitlines():
+        s = line.strip()
+        if s.startswith('ENTRY '):
+            in_entry = True
+            continue
+        if not in_entry:
+            continue
+        if s == '}':
+            break
+        m = _INST_RE.match(s)
+        if not m:
+            continue
+        name, rest = m.groups()
+        mo = _TYPE_OP_RE.match(rest)
+        if not mo:
+            continue
+        typ, opcode = mo.groups()
+        rbytes = _shape_bytes(typ)
+        # operand list = inside the call's first paren group; attributes
+        # (calls=, body=, ...) follow the closing paren
+        oseg = rest[mo.end():].split(')')[0]
+        ops = re.findall(r'%([\w\.\-]+)', oseg)
+        sizes[name] = rbytes
+        insts.append((name, opcode, rbytes, ops))
+    if not insts:
+        raise ValueError('no ENTRY computation parsed from HLO text')
+    total = 0
+    for _name, opcode, rbytes, ops in insts:
+        if opcode in _FREE_OPS:
+            continue
+        total += rbytes
+        for o in set(ops):
+            total += sizes.get(o, 0)
+    return float(total)
 
 
 def report(phase, flops, bytes_, seconds, note=''):
