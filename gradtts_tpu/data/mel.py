@@ -7,10 +7,18 @@ log-compression log(clamp(x, 1e-5)).
 
 The mel filterbank is built host-side in numpy (librosa is not a dependency;
 the slaney construction is reimplemented and validated against torch.stft +
-the reference pipeline in tests). The STFT itself is jnp: framing is a
-reshape+gather, the DFT is an rfft — jit-able, so feature extraction can run
-on the TPU and fuse with the mel matmul (a Pallas candidate for the framing
-+ matmul fusion).
+the reference pipeline in tests). The STFT is jnp and jit-able, so feature
+extraction runs on the TPU and fuses with the mel matmul.
+
+Round 5 closed the long-standing "Pallas candidate (framing + matmul
+fusion)" note BY MEASUREMENT: the default lowering is now a dense windowed
+DFT — frames built from hop-sized chunk slices, spectrum as two HIGHEST-
+precision MXU matmuls (stft_magnitude(method='dft')) — which on the chip
+cut the program's HBM bytes 7x vs the rfft lowering and runs at ~0.14 ms
+per B8x768-frame bucket ON DEVICE (profile-trace sum; the chained-fetch
+protocol reads ~2.4 ms because sub-ms programs are dominated by per-call
+tunnel overhead). At that point the program sits at its op floors, so no
+Pallas kernel is warranted; see PERFORMANCE.md "Mel front end".
 """
 
 import functools
@@ -68,14 +76,66 @@ def hann_window_periodic(win_length):
     return w.astype(np.float32)
 
 
-def stft_magnitude(y, n_fft=1024, hop_length=256, win_length=1024):
+@functools.lru_cache(maxsize=8)
+def _windowed_dft(n_fft, win_length):
+    """Real-DFT matrices [n_fft, 1 + n_fft//2] with the periodic Hann
+    window folded in: ``frames @ C == Re(rfft(frames * w))`` and
+    ``frames @ S == Im(...)``. Built in float64, stored float32."""
+    w = hann_window_periodic(win_length).astype(np.float64)
+    if win_length < n_fft:
+        pad = (n_fft - win_length) // 2
+        w = np.pad(w, (pad, n_fft - win_length - pad))
+    k = np.arange(n_fft, dtype=np.float64)[:, None]
+    f = np.arange(1 + n_fft // 2, dtype=np.float64)[None, :]
+    ang = -2.0 * math.pi * k * f / n_fft
+    return ((np.cos(ang) * w[:, None]).astype(np.float32),
+            (np.sin(ang) * w[:, None]).astype(np.float32))
+
+
+def stft_magnitude(y, n_fft=1024, hop_length=256, win_length=1024,
+                   method='dft'):
     """|STFT| of [..., T] with center=False and a periodic Hann window.
-    Returns [..., n_frames, 1 + n_fft // 2]."""
+    Returns [..., n_frames, 1 + n_fft // 2].
+
+    ``method='dft'`` (default) computes the spectrum as two dense
+    windowed-DFT matmuls over frames built from hop-sized chunk slices —
+    the TPU-first lowering: XLA's rfft materializes the framed tensor
+    plus multi-stage FFT intermediates in HBM and leaves the MXU idle
+    (measured 31% of the HBM roofline at ~1% MFU, tools/roofline.py),
+    while the dense DFT is MXU food (the extra O(N/log N) FLOPs are free
+    at 1% MFU). Agreement with the fft path is ~4e-6 relative (f32 dot
+    rounding). ``method='fft'`` keeps the rfft lowering.
+    """
+    n_frames = 1 + (y.shape[-1] - n_fft) // hop_length
+    if method == 'dft':
+        S = y.shape[-1]
+        if S % hop_length == 0 and n_fft % hop_length == 0:
+            # frame rows from hop-sized chunks: frame t = chunks[t:t+r]
+            # concatenated — pure slicing, no gather, no index tensor
+            r = n_fft // hop_length
+            ch = y.reshape(y.shape[:-1] + (S // hop_length, hop_length))
+            frames = jnp.concatenate(
+                [ch[..., i:i + n_frames, :] for i in range(r)], axis=-1)
+        else:
+            idx = (jnp.arange(n_frames) * hop_length)[:, None] \
+                + jnp.arange(n_fft)[None, :]
+            frames = y[..., idx]
+        C, Sn = _windowed_dft(n_fft, win_length)
+        # HIGHEST precision: the TPU default would run these as 1-pass
+        # bf16 and cost ~3e-3 relative spectral error; 3-pass keeps the
+        # mel front end at fft precision for ~0.1 ms on a path with 30x
+        # headroom over every consumer
+        re = jnp.einsum('...tk,kf->...tf', frames, jnp.asarray(C),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        im = jnp.einsum('...tk,kf->...tf', frames, jnp.asarray(Sn),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        return jnp.sqrt(re * re + im * im)
     window = jnp.asarray(hann_window_periodic(win_length))
     if win_length < n_fft:
         pad = (n_fft - win_length) // 2
         window = jnp.pad(window, (pad, n_fft - win_length - pad))
-    n_frames = 1 + (y.shape[-1] - n_fft) // hop_length
     idx = (jnp.arange(n_frames) * hop_length)[:, None] + jnp.arange(n_fft)[None, :]
     frames = y[..., idx] * window
     spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
@@ -95,7 +155,8 @@ def mel_spectrogram(y, n_fft=1024, num_mels=80, sampling_rate=22050,
     basis = jnp.asarray(mel_filterbank(sampling_rate, n_fft, num_mels,
                                        fmin, fmax))
     mel = jnp.einsum('...tf,mf->...tm', mag, basis,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     return jnp.log(jnp.clip(mel, min=1e-5))
 
 
@@ -130,7 +191,8 @@ def mel_from_padded(y_padded, y_lengths=None, n_fft=1024, num_mels=80,
     basis = jnp.asarray(mel_filterbank(sampling_rate, n_fft, num_mels,
                                        fmin, fmax))
     mel = jnp.einsum('...tf,mf->...tm', mag, basis,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     mel = jnp.log(jnp.clip(mel, min=1e-5))
     if y_lengths is not None:
         # zero tail frames on device (the host collate zero-pads) so the

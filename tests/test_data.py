@@ -341,3 +341,19 @@ def test_device_mel_int16_upload_exact_for_pcm16(tmp_path):
                           mel_upload_dtype='int16'))[0]
     np.testing.assert_array_equal(np.asarray(f32['y']),
                                   np.asarray(i16['y']))
+
+
+def test_stft_dft_matches_fft_lowering():
+    """The TPU-first dense windowed-DFT lowering (round 5 default) must
+    reproduce the rfft lowering to f32 rounding — on both the
+    chunk-sliced (S % hop == 0) and gather (ragged S) framing paths."""
+    from gradtts_tpu.data.mel import stft_magnitude
+    import jax.numpy as jnp
+    rng = np.random.default_rng(4)
+    for S in (1024 + 7 * 256, 5000):
+        y = jnp.asarray(rng.standard_normal((2, S)) * 0.3, jnp.float32)
+        a = np.asarray(stft_magnitude(y, method='dft'))
+        b = np.asarray(stft_magnitude(y, method='fft'))
+        assert a.shape == b.shape
+        scale = np.abs(b).max()
+        assert np.abs(a - b).max() / scale < 1e-5, S
