@@ -12,6 +12,10 @@ integrator — is one jit-compiled program that never leaves the device:
   matching the reference's ``euler_maruyama`` (:99-114);
 - adaptive: an embedded Dormand-Prince 5(4) with PI step control in
   ``lax.while_loop``, tolerance-compatible with scipy RK45 (:117).
+  Validated at production dims on the chip (B8 T512, full score model):
+  converged at rtol=atol in {1e-2, 1e-3, 1e-4} with nfe 84/238/651,
+  scores converging onto the fixed-Euler limit (PERFORMANCE.md
+  "Round-5 changes" item 5).
 
 Returns a NamedTuple; the reference returns a 4-tuple that its callers
 mistakenly treat as a scalar (SURVEY.md §3.3) — `.score` is the scalar
