@@ -356,9 +356,11 @@ class LinearAttention(nn.Module):
     ``rezero_g`` (the caller's ReZero gain) folds the ``* g + x`` residual
     into this op. ``fused=True`` additionally dispatches to the Pallas
     flash-style kernel (ops/pallas/linear_attention.py): one streaming
-    stats pass + one apply pass instead of materializing q/k/exp(k) in HBM.
-    The fused path is reverse-mode-only (custom_vjp) — callers that need
-    ``jax.jvp`` (the likelihood engine) must keep ``fused=False``."""
+    stats pass + one apply pass instead of materializing q/k/exp(k) in HBM
+    (reverse-mode differentiable, custom_vjp). ``fused='jvp'`` dispatches
+    to its forward-mode custom_jvp twin — what the likelihood engine's
+    Hutchinson ``jax.jvp`` needs (a function carries only one custom AD
+    rule, so the two modes are separate entry points)."""
     dim: int
     heads: int = 4
     dim_head: int = 32

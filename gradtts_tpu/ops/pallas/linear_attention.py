@@ -27,9 +27,12 @@ Differentiable via ``jax.custom_vjp`` with a REAL streaming backward
 (round 4): two more sweeps over (x, dy) plus O(H^2) host algebra — see
 the backward section below — so training benefits too (measured 17.6 ->
 17.0 ms full train step at B16 on v5e; round 3's recompute-the-jnp-
-forward backward was net-negative). Reverse mode only — the likelihood
-engine's Hutchinson ``jax.jvp`` must use the jnp path; synthesize() and
-make_train_step enable the kernel on TPU, the likelihood engine doesn't.
+forward backward was net-negative). This entry point is reverse-mode
+only; forward-mode callers (the likelihood engine's Hutchinson
+``jax.jvp``) use the round-5 ``custom_jvp`` twin
+:func:`fused_linear_attention_rezero_jvp` below (a function can carry
+only one custom AD rule). synthesize()/make_train_step enable the vjp
+kernel on TPU; get_score_fn enables the jvp twin.
 """
 
 import functools
