@@ -30,10 +30,13 @@ def main(argv=None):
                         help='also write wavs + per-utt metrics here')
     parser.add_argument('--dsp-backend', default='auto',
                         choices=['auto', 'yin', 'world'],
-                        help="feature extractors: 'world' = pyworld+pysptk "
-                             '(reference-comparable numbers, needs both '
-                             "installed); 'yin' = built-in dependency-free "
-                             "DSP; 'auto' picks world when importable")
+                        help="feature extractors: 'world' = WORLD harvest + "
+                             'CheapTrick + SPTK mcep (reference-comparable '
+                             'numbers; uses pyworld/pysptk when installed, '
+                             'else the built-in numpy implementations of '
+                             "the same algorithms); 'yin' = fast built-in "
+                             "DSP; 'auto' picks pyworld-world when "
+                             "importable, else 'yin'")
     parser.add_argument('--cpu', action='store_true')
     parser.add_argument('--seed', type=int, default=0)
     args = parser.parse_args(argv)

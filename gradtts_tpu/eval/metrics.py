@@ -104,10 +104,15 @@ def evaluate_pair(pred_x: np.ndarray, ref_x: np.ndarray, fs: int,
       - 'yin': built-in dependency-free DSP (YIN F0 + warped cepstrum).
         Self-consistent, but absolute values are NOT comparable to numbers
         from the reference toolchain (see eval/f0.py, eval/mcep.py).
-      - 'world': pyworld harvest F0 + SPTK mcep — the reference's exact
-        extractors, producing reference-comparable MCD/F0 numbers.
-        Requires pyworld + pysptk installed.
-      - 'auto' (default): 'world' when importable, else 'yin'.
+      - 'world': WORLD harvest F0 + CheapTrick + SPTK mcep — the
+        reference's extractors, producing reference-comparable MCD/F0
+        numbers.  Uses pyworld/pysptk when installed (bit-identical to
+        the reference toolchain); otherwise the from-scratch numpy
+        implementations of the same algorithms (eval/worldnp.py), which
+        are slower but always available.
+      - 'auto' (default): 'world' when pyworld/pysptk are importable,
+        else 'yin' (the fast built-in DSP).  Pass backend='world'
+        explicitly for reference-algorithm numbers without the libs.
     """
     pred_x = np.asarray(pred_x, np.float64)
     ref_x = np.asarray(ref_x, np.float64)

@@ -219,17 +219,45 @@ def test_dsp_backend_selection():
 
 
 def test_world_backend_reference_comparable():
-    """When pyworld+pysptk are installed, the 'world' backend reproduces
-    the reference toolchain's extractors (harvest + SPTK mcep). Skipped in
-    containers without those libs — the backend exists so users WITH them
-    get numbers comparable to published Grad-TTS evals."""
-    from gradtts_tpu.eval.world import world_available
-    if not world_available():
-        pytest.skip('pyworld/pysptk not installed in this environment')
+    """The 'world' backend (WORLD harvest + CheapTrick + SPTK mcep — the
+    reference toolchain's extractors) executes everywhere: through
+    pyworld/pysptk when installed, else through the from-scratch numpy
+    implementations in eval/worldnp.py.  Either way self-comparison is
+    exactly zero and distinct audio separates."""
     from gradtts_tpu.data.dataset import load_wav
     a, fs = load_wav(os.path.join(FIXTURES, 'eval_a.wav'))
     b, _ = load_wav(os.path.join(FIXTURES, 'eval_b.wav'))
     m_aa = evaluate_pair(a, a, fs, backend='world')
     assert m_aa['mcd'] == pytest.approx(0.0, abs=1e-6)
+    assert m_aa['log_f0_rmse'] == pytest.approx(0.0, abs=1e-9)
+    assert m_aa['gpe'] == 0.0 and m_aa['vde'] == 0.0 and m_aa['ffe'] == 0.0
     m_ab = evaluate_pair(a, b, fs, backend='world')
     assert m_ab['mcd'] > 0.5 and m_ab['log_f0_rmse'] > 0.05
+
+
+def test_world_numpy_crosschecks_pyworld():
+    """Where pyworld/pysptk ARE installed, the numpy re-implementations
+    must agree with the C libraries on the fixture audio: same voicing
+    decisions on >=85% of frames, median voiced F0 within 1%, and SPTK
+    mcep tracks close enough that the MCD between the two implementations'
+    cepstra of the SAME audio is far below a real inter-audio MCD.
+    Skipped only where the C libraries are absent (the numpy side is then
+    covered by tests/test_worldnp.py's ground-truth suite)."""
+    from gradtts_tpu.eval.world import world_available
+    if not world_available():
+        pytest.skip('pyworld/pysptk not installed in this environment')
+    from gradtts_tpu.data.dataset import load_wav
+    from gradtts_tpu.eval.world import sptk_mcep, world_extract
+    a, fs = load_wav(os.path.join(FIXTURES, 'eval_a.wav'))
+    mc_c, f0_c = world_extract(a, fs, impl='pyworld')
+    mc_n, f0_n = world_extract(a, fs, impl='numpy')
+    n = min(len(f0_c), len(f0_n))
+    agree = np.mean((f0_c[:n] > 0) == (f0_n[:n] > 0))
+    assert agree >= 0.85
+    both = (f0_c[:n] > 0) & (f0_n[:n] > 0)
+    if both.any():
+        assert (np.median(f0_n[:n][both])
+                == pytest.approx(np.median(f0_c[:n][both]), rel=0.01))
+    m_c = sptk_mcep(a, fs, impl='pyworld')
+    m_n = sptk_mcep(a, fs, impl='numpy')
+    assert mcd(m_n, m_c) < 1.0  # same audio, two impls: near-identical
