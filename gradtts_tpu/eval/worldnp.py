@@ -420,56 +420,69 @@ def _channel_candidate(filtered, actual_fs, boundary_f0, t_grid,
     return cand
 
 
-def _refine_f0(x, fs, t, f0_est, f0_floor, f0_ceil, n_harmonics=6):
-    """Instantaneous-frequency refinement of one candidate (WORLD
-    GetRefinedF0 / GetMeanF0): Blackman window over +-1.5 T0, bin-wise
-    instantaneous frequency from the spectrum of the window-derivative,
-    amplitude-weighted average over the first harmonics.
+def _refine_f0_batch(x, fs, ts, f0s, f0_floor, f0_ceil, n_harmonics=6):
+    """Instantaneous-frequency refinement of all candidates at once (WORLD
+    GetRefinedF0 / GetMeanF0): per candidate, a Blackman window over
+    +-1.5 T0, bin-wise instantaneous frequency from the spectrum of the
+    window-derivative, amplitude-weighted average over the first
+    harmonics.  Candidates sharing a window length are batched through
+    one rfft (the window length depends only on the candidate F0), which
+    is the difference between ~3000 python-loop FFTs and ~100 batched
+    ones on a typical utterance.
 
-    Returns (refined_f0, score) with score in [0, 1] — the weighted
+    Returns (refined_f0s, scores), scores in [0, 1] — the weighted
     harmonicity (1 = the harmonics' instantaneous frequencies agree
     exactly with multiples of the refined F0)."""
-    if f0_est <= 0.0:
-        return 0.0, 0.0
-    half = int(1.5 * fs / f0_est + 1.0)
-    base = np.arange(-half, half + 1)
-    index = np.clip(int(round(t * fs)) + base, 0, len(x) - 1)
-    seg = x[index]
-    span = (2 * half + 1) / fs
-    u = base / fs / span                       # in (-0.5, 0.5)
-    main_window = (0.42 + 0.5 * np.cos(2.0 * np.pi * u)
-                   + 0.08 * np.cos(4.0 * np.pi * u))
-    diff_window = np.empty_like(main_window)
-    diff_window[1:-1] = -(main_window[2:] - main_window[:-2]) / 2.0
-    diff_window[0] = -main_window[1] / 2.0
-    diff_window[-1] = main_window[-2] / 2.0
+    ts = np.asarray(ts, np.float64)
+    f0s = np.asarray(f0s, np.float64)
+    out_f = np.zeros(len(ts))
+    out_s = np.zeros(len(ts))
+    valid = f0s > 0.0
+    halves = np.zeros(len(ts), np.int64)
+    halves[valid] = (1.5 * fs / f0s[valid] + 1.0).astype(np.int64)
+    harm = np.arange(1, n_harmonics + 1)
+    for half in np.unique(halves[valid]):
+        sel = np.nonzero(valid & (halves == half))[0]
+        base = np.arange(-half, half + 1)
+        centers = np.round(ts[sel] * fs).astype(np.int64)
+        seg = x[np.clip(centers[:, None] + base[None, :], 0, len(x) - 1)]
+        span = (2 * half + 1) / fs
+        u = base / fs / span                   # in (-0.5, 0.5)
+        main_window = (0.42 + 0.5 * np.cos(2.0 * np.pi * u)
+                       + 0.08 * np.cos(4.0 * np.pi * u))
+        diff_window = np.empty_like(main_window)
+        diff_window[1:-1] = -(main_window[2:] - main_window[:-2]) / 2.0
+        diff_window[0] = -main_window[1] / 2.0
+        diff_window[-1] = main_window[-2] / 2.0
 
-    fft_size = int(2 ** np.ceil(np.log2(len(seg) + 1)))
-    spec = np.fft.rfft(seg * main_window, n=fft_size)
-    dspec = np.fft.rfft(seg * diff_window, n=fft_size)
-    power = spec.real ** 2 + spec.imag ** 2 + 1e-300
-    # d(phase)/dt per bin: bin frequency + power-normalized correction
-    binf = np.arange(len(spec)) * (fs / fft_size)
-    inst = binf + (spec.real * dspec.imag
-                   - spec.imag * dspec.real) / power * fs / (2.0 * np.pi)
+        fft_size = int(2 ** np.ceil(np.log2(2 * half + 2)))
+        spec = np.fft.rfft(seg * main_window, n=fft_size, axis=1)
+        dspec = np.fft.rfft(seg * diff_window, n=fft_size, axis=1)
+        power = spec.real ** 2 + spec.imag ** 2 + 1e-300
+        n_bins = power.shape[1]
+        # d(phase)/dt per bin: bin frequency + power-normalized correction
+        binf = np.arange(n_bins) * (fs / fft_size)
+        inst = binf + (spec.real * dspec.imag
+                       - spec.imag * dspec.real) / power * fs / (2.0 * np.pi)
 
-    amps, ests = [], []
-    for h in range(1, n_harmonics + 1):
-        k = int(round(h * f0_est * fft_size / fs))
-        if k <= 0 or k >= len(spec):
-            break
-        amps.append(np.sqrt(power[k]))
-        ests.append(inst[k] / h)
-    if not amps:
-        return 0.0, 0.0
-    amps = np.asarray(amps)
-    ests = np.asarray(ests)
-    refined = float(np.sum(amps * ests) / np.sum(amps))
-    if not (f0_floor <= refined <= f0_ceil):
-        return 0.0, 0.0
-    deviation = np.sqrt(np.sum(amps * (ests - refined) ** 2)
-                        / np.sum(amps)) / refined
-    return refined, float(max(0.0, 1.0 - deviation))
+        k = np.round(harm[None, :] * f0s[sel][:, None]
+                     * fft_size / fs).astype(np.int64)      # [G, H]
+        ok = (k > 0) & (k < n_bins)
+        kc = np.clip(k, 0, n_bins - 1)
+        amps = np.sqrt(np.take_along_axis(power, kc, 1)) * ok
+        ests = np.take_along_axis(inst, kc, 1) / harm
+        wsum = amps.sum(axis=1)
+        good = wsum > 0.0
+        refined = np.where(good, (amps * ests).sum(axis=1)
+                           / np.where(good, wsum, 1.0), 0.0)
+        good &= (refined >= f0_floor) & (refined <= f0_ceil)
+        safe_ref = np.where(good, refined, 1.0)
+        deviation = np.sqrt((amps * (ests - refined[:, None]) ** 2)
+                            .sum(axis=1) / np.where(good, wsum, 1.0)
+                            ) / safe_ref
+        out_f[sel] = np.where(good, refined, 0.0)
+        out_s[sel] = np.where(good, np.maximum(0.0, 1.0 - deviation), 0.0)
+    return out_f, out_s
 
 
 def _runs(mask: np.ndarray):
@@ -539,13 +552,19 @@ def harvest(x: np.ndarray, fs: int, f0_floor: float = 71.0,
         v for tt in range(max(0, t - 2), min(n_1ms, t + 3))
         for v in cand_lists[tt])) for t in range(n_1ms)]
 
-    # refinement on the full-rate signal
+    # refinement on the full-rate signal, batched by window length
     refined = np.zeros((n_1ms, max(1, max(len(p) for p in pooled))))
     scores = np.zeros_like(refined)
-    for t in range(n_1ms):
-        for j, cand in enumerate(pooled[t]):
-            refined[t, j], scores[t, j] = _refine_f0(
-                x, fs, t_grid[t], cand, f0_floor, f0_ceil)
+    flat_rows = np.array([t for t in range(n_1ms)
+                          for _ in pooled[t]], np.int64)
+    flat_cols = np.array([j for t in range(n_1ms)
+                          for j in range(len(pooled[t]))], np.int64)
+    if len(flat_rows):
+        flat_f0, flat_sc = _refine_f0_batch(
+            x, fs, t_grid[flat_rows],
+            np.array([c for p in pooled for c in p]), f0_floor, f0_ceil)
+        refined[flat_rows, flat_cols] = flat_f0
+        scores[flat_rows, flat_cols] = flat_sc
 
     # temporal-consistency pruning (WORLD RemoveUnreliableCandidates):
     # a candidate with no close (<5%) counterpart in a neighbour frame
