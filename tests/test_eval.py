@@ -235,6 +235,34 @@ def test_world_backend_reference_comparable():
     assert m_ab['mcd'] > 0.5 and m_ab['log_f0_rmse'] > 0.05
 
 
+def test_world_golden_values():
+    """Frozen outputs of the from-scratch WORLD/SPTK backend
+    (eval/worldnp.py) on the committed fixture wavs: any change that
+    shifts harvest F0 tracks, mcep tracks, or metrics must be deliberate
+    and re-freeze these values (regenerate via the script in this test's
+    git history).  Complements tests/test_worldnp.py's ground-truth
+    accuracy suite with an exact regression pin."""
+    from gradtts_tpu.data.dataset import load_wav
+    from gradtts_tpu.eval.world import sptk_mcep, world_extract
+    golden = np.load(os.path.join(FIXTURES, 'world_golden.npz'))
+    a, fs = load_wav(os.path.join(FIXTURES, 'eval_a.wav'))
+    b, _ = load_wav(os.path.join(FIXTURES, 'eval_b.wav'))
+
+    mc_a, f0_a = world_extract(a, fs, impl='numpy')
+    _, f0_b = world_extract(b, fs, impl='numpy')
+    np.testing.assert_array_equal(f0_a > 0, golden['f0_a'] > 0)
+    np.testing.assert_allclose(f0_a, golden['f0_a'], rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(f0_b, golden['f0_b'], rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(mc_a, golden['mcep_f0_a'], rtol=1e-5,
+                               atol=1e-7)
+    np.testing.assert_allclose(sptk_mcep(a, fs, impl='numpy'),
+                               golden['sptk_mcep_a'], rtol=1e-5, atol=1e-7)
+    m_ab = evaluate_pair(a, b, fs, backend='world')
+    names = [str(n) for n in golden['metric_names']]
+    np.testing.assert_allclose([m_ab[k] for k in names],
+                               golden['metrics_ab'], rtol=1e-6)
+
+
 def test_world_numpy_crosschecks_pyworld():
     """Where pyworld/pysptk ARE installed, the numpy re-implementations
     must agree with the C libraries on the fixture audio: same voicing
