@@ -3,14 +3,15 @@
 The closest achievable substitute for the two environment-blocked parity
 items (VERDICT r4 "What's missing"): reference .pt checkpoints are
 stripped and pyworld/pysptk are not installed, so mel/waveform allclose
-vs real checkpoints and reference-comparable objective-eval numbers can't
-run here. This gate instead exercises the FULL pipeline on a model
-actually trained in-test — train -> synthesize -> HiFi-GAN -> objective
-metrics (parity: /root/reference/evaluate_tts.py:196-244) — and asserts
-the trained model beats the untrained one on MCD/FFE and that every
-metric against real audio is finite. Unlike tests/fixtures/eval_golden
-(which pins our DSP against itself), the metric inputs here are real
-model output.
+vs real checkpoints and bit-identical objective-eval numbers can't run
+here. This gate instead exercises the FULL pipeline on a model actually
+trained in-test — train -> synthesize -> HiFi-GAN -> objective metrics
+(parity: /root/reference/evaluate_tts.py:196-244) — and asserts the
+trained model beats the untrained one on MCD/FFE and that every metric
+against real audio is finite; section (c) repeats the MCD ordering check
+through the reference-ALGORITHM extractor (SPTK mel-cepstral analysis,
+eval/worldnp.py). Unlike tests/fixtures/eval_golden (which pins our DSP
+against itself), the metric inputs here are real model output.
 
 Corpus: each token id maps to a fixed 2-partial sine chunk (8 mel frames
 at hop 64), so utterances are deterministic audio with true mels from
@@ -130,3 +131,21 @@ def test_train_synthesize_vocode_evaluate_gate():
     # calibrated margins: measured 2.3 vs 59.4 (MCD), 0.06 vs 1.0 (FFE)
     assert mcd_tr < 0.5 * mcd_un, (mcd_tr, mcd_un)
     assert ffe_tr < ffe_un - 0.2, (ffe_tr, ffe_un)
+
+    # (c) the reference-algorithm cepstra agree on the ordering: MCD from
+    # SPTK mel-cepstral analysis (the from-scratch worldnp backend, the
+    # same extractor /root/reference/evaluate_tts.py:176-186 uses through
+    # pysptk) also ranks trained far above untrained on real model output
+    from gradtts_tpu.eval.metrics import mcd
+    from gradtts_tpu.eval.world import sptk_mcep
+
+    def world_mcd(a, b):
+        return mcd(sptk_mcep(a, SR, n_fft=NFFT, n_shift=HOP, mcep_dim=24,
+                             mcep_alpha=0.455, impl='numpy'),
+                   sptk_mcep(b, SR, n_fft=NFFT, n_shift=HOP, mcep_dim=24,
+                             mcep_alpha=0.455, impl='numpy'))
+
+    wmcd_tr = sum(world_mcd(wav_tr[i], wav_gt_voc[i]) for i in range(2)) / 2
+    wmcd_un = sum(world_mcd(wav_un[i], wav_gt_voc[i]) for i in range(2)) / 2
+    assert np.isfinite(wmcd_tr) and np.isfinite(wmcd_un)
+    assert wmcd_tr < 0.5 * wmcd_un, (wmcd_tr, wmcd_un)
