@@ -242,6 +242,40 @@ def test_harvest_bridges_attenuated_dropout():
     np.testing.assert_allclose(notch, 180.0, rtol=0.02)
 
 
+def test_harvest_and_cheaptrick_on_glottal_pulse_train():
+    """Speech-like stress test: an impulse train with a gliding pitch
+    (220 -> 130 Hz) through two formant resonators.  Harvest must track
+    the glide (sharp pulses excite ALL harmonics — much harder than the
+    smooth _harmonic fixtures) and CheapTrick must place the envelope
+    peak on the 500 Hz formant, not on individual harmonics."""
+    from scipy import signal
+    fs, dur = FS, 0.7
+    n = int(dur * fs)
+    t = np.arange(n) / fs
+    f0_inst = 220.0 * (130.0 / 220.0) ** (t / dur)
+    phase = np.cumsum(f0_inst) / fs
+    exc = np.zeros(n)
+    exc[np.searchsorted(phase, np.arange(1, int(phase[-1])))] = 1.0
+    for fc, bw in [(500.0, 80.0), (1500.0, 120.0)]:
+        r = np.exp(-np.pi * bw / fs)
+        exc = signal.lfilter(
+            [1.0], [1.0, -2 * r * np.cos(2 * np.pi * fc / fs), r * r], exc)
+    x = 0.3 * exc / np.abs(exc).max()
+
+    f0, taxis = W.harvest(x, fs, 70.0, 400.0, 16.0)
+    truth = 220.0 * (130.0 / 220.0) ** (taxis / dur)
+    sl = slice(2, len(f0) - 2)
+    voiced = f0[sl] > 0
+    assert voiced.mean() > 0.95
+    rel = np.abs(f0[sl][voiced] / truth[sl][voiced] - 1.0)
+    assert rel.mean() < 5e-3 and rel.max() < 2e-2
+
+    sp = W.cheaptrick(x, f0, taxis, fs, fft_size=512)
+    mid = sp[len(f0) // 2]
+    peak_hz = np.argmax(mid[:40]) * fs / 512.0   # search below 1250 Hz
+    assert peak_hz == pytest.approx(500.0, abs=1.5 * fs / 512.0)
+
+
 def test_harvest_respects_search_range():
     x = _harmonic(150.0, seconds=0.4)
     f0, _ = W.harvest(x, FS, 200.0, 400.0, 16.0)  # 150 outside range
