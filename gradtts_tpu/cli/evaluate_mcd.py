@@ -5,7 +5,7 @@ Behavioral parity target: /root/reference/eval/evaluate_mcd.py:240-328
 
   python -m gradtts_tpu.cli.evaluate_mcd GEN_DIR GT_DIR [--outdir DIR]
       [--mcep_dim D] [--mcep_alpha A] [--n_fft 1024] [--n_shift 256]
-      [--nj 16] [--verbose 1]
+      [--nj 16] [--verbose 1] [--dsp-backend yin|world]
 """
 
 import argparse
@@ -24,6 +24,13 @@ def main(argv=None):
     parser.add_argument('--n_shift', default=256, type=int)
     parser.add_argument('--nj', default=16, type=int)
     parser.add_argument('--verbose', default=1, type=int)
+    parser.add_argument('--dsp-backend', default='yin',
+                        choices=['yin', 'world'],
+                        help="'world' = SPTK mel-cepstral analysis (the "
+                             'reference tool uses pysptk.mcep; falls back '
+                             'to the built-in numpy implementation when '
+                             "pysptk is absent); 'yin' = fast built-in "
+                             'warped cepstrum')
     args = parser.parse_args(argv)
 
     level = (logging.DEBUG if args.verbose > 1
@@ -37,7 +44,7 @@ def main(argv=None):
         args.gen_wavdir_or_wavscp, args.gt_wavdir_or_wavscp,
         outdir=args.outdir, nj=args.nj, n_fft=args.n_fft,
         n_shift=args.n_shift, mcep_dim=args.mcep_dim,
-        mcep_alpha=args.mcep_alpha)
+        mcep_alpha=args.mcep_alpha, backend=args.dsp_backend)
     import numpy as np
     values = np.array(list(mcd_dict.values()))
     print(f'Average: {values.mean():.4f} ± {values.std():.4f}')

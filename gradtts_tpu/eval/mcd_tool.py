@@ -40,7 +40,12 @@ def _resolve_files(dir_or_scp: str) -> List[str]:
 
 def mcd_for_pair(gen_path: str, gt_path: str, n_fft=1024, n_shift=256,
                  mcep_dim: Optional[int] = None,
-                 mcep_alpha: Optional[float] = None) -> float:
+                 mcep_alpha: Optional[float] = None,
+                 backend: str = 'yin') -> float:
+    """MCD for one wav pair.  ``backend='yin'`` uses the fast built-in
+    warped cepstrum; ``'world'`` uses SPTK mel-cepstral analysis — the
+    reference tool's extractor (evaluate_mcd.py:48-100, pysptk.mcep) —
+    through pysptk when installed, else eval/worldnp.py."""
     gen_x, gen_fs = load_wav(gen_path)
     gt_x, gt_fs = load_wav(gt_path)
     fs = gen_fs
@@ -48,10 +53,18 @@ def mcd_for_pair(gen_path: str, gt_path: str, n_fft=1024, n_shift=256,
         gt_x = resample(gt_x, gt_fs, gen_fs)
     if mcep_dim is None or mcep_alpha is None:
         mcep_dim, mcep_alpha = best_mcep_params(fs)
-    gen_mcep = mcep_from_waveform(gen_x, fs, n_fft, n_shift, mcep_dim,
-                                  mcep_alpha)
-    gt_mcep = mcep_from_waveform(gt_x, fs, n_fft, n_shift, mcep_dim,
-                                 mcep_alpha)
+    if backend == 'world':
+        from gradtts_tpu.eval.world import sptk_mcep
+        gen_mcep = sptk_mcep(gen_x, fs, n_fft, n_shift, mcep_dim,
+                             mcep_alpha)
+        gt_mcep = sptk_mcep(gt_x, fs, n_fft, n_shift, mcep_dim, mcep_alpha)
+    elif backend == 'yin':
+        gen_mcep = mcep_from_waveform(gen_x, fs, n_fft, n_shift, mcep_dim,
+                                      mcep_alpha)
+        gt_mcep = mcep_from_waveform(gt_x, fs, n_fft, n_shift, mcep_dim,
+                                     mcep_alpha)
+    else:
+        raise ValueError(f'unknown MCD DSP backend {backend!r}')
     g, t = align(gen_mcep, gt_mcep)
     diff2sum = np.sum((g - t) ** 2, axis=1)
     return float(np.mean(MCD_CONST * np.sqrt(2.0 * diff2sum)))
@@ -72,7 +85,8 @@ def evaluate_mcd_dirs(gen_dir_or_scp: str, gt_dir_or_scp: str,
                       outdir: Optional[str] = None, nj: int = 16,
                       n_fft: int = 1024, n_shift: int = 256,
                       mcep_dim: Optional[int] = None,
-                      mcep_alpha: Optional[float] = None) -> Dict[str, float]:
+                      mcep_alpha: Optional[float] = None,
+                      backend: str = 'yin') -> Dict[str, float]:
     """Returns {utt_id: mcd}; writes utt2mcd + mcd_avg_result.txt."""
     gen_files = _resolve_files(gen_dir_or_scp)
     gt_files = _resolve_files(gt_dir_or_scp)
@@ -84,7 +98,7 @@ def evaluate_mcd_dirs(gen_dir_or_scp: str, gt_dir_or_scp: str,
             f'(#gen={len(gen_files)} vs. #gt={len(gt_files)}).')
 
     kwargs = dict(n_fft=n_fft, n_shift=n_shift, mcep_dim=mcep_dim,
-                  mcep_alpha=mcep_alpha)
+                  mcep_alpha=mcep_alpha, backend=backend)
     chunks = [c.tolist() for c in np.array_split(gen_files, nj) if len(c)]
 
     if nj <= 1 or len(gen_files) == 1:

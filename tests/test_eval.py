@@ -172,6 +172,37 @@ def test_evaluate_mcd_dirs(tmp_path):
     assert (out / 'mcd_avg_result.txt').exists()
 
 
+def test_evaluate_mcd_dirs_world_backend(tmp_path):
+    """The standalone MCD tool's 'world' backend (SPTK mel-cepstral
+    analysis, the reference tool's extractor) runs end-to-end through the
+    directory driver and the CLI flag."""
+    from scipy.io import wavfile
+    gen, gt = tmp_path / 'gen', tmp_path / 'gt'
+    gen.mkdir()
+    gt.mkdir()
+    ref = _tone(220.0, 0.4)
+    pred = _tone(220.0 * 1.03, 0.4)
+    wavfile.write(str(gt / 'u.wav'), FS, (ref * 32767).astype(np.int16))
+    wavfile.write(str(gen / 'u_gen.wav'), FS,
+                  (pred * 32767).astype(np.int16))
+    out = tmp_path / 'out'
+    mcd_dict = evaluate_mcd_dirs(str(gen), str(gt), outdir=str(out), nj=1,
+                                 n_fft=512, n_shift=256, backend='world')
+    assert np.isfinite(mcd_dict['u']) and mcd_dict['u'] > 0
+    from gradtts_tpu.eval.mcd_tool import mcd_for_pair
+    same = mcd_for_pair(str(gen / 'u_gen.wav'), str(gen / 'u_gen.wav'),
+                        n_fft=512, n_shift=256, backend='world')
+    assert same == pytest.approx(0.0, abs=1e-9)
+    with pytest.raises(ValueError):
+        mcd_for_pair(str(gen / 'u_gen.wav'), str(gt / 'u.wav'),
+                     backend='nope')
+    from gradtts_tpu.cli.evaluate_mcd import main as mcd_main
+    mcd_main([str(gen), str(gt), '--outdir', str(out), '--nj', '1',
+              '--n_fft', '512', '--n_shift', '256',
+              '--dsp-backend', 'world'])
+    assert (out / 'utt2mcd').exists()
+
+
 # --- golden-value regression guard (committed fixtures) --------------------
 
 FIXTURES = os.path.join(os.path.dirname(__file__), 'fixtures')
