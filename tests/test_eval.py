@@ -270,9 +270,9 @@ def test_world_golden_values():
     """Frozen outputs of the from-scratch WORLD/SPTK backend
     (eval/worldnp.py) on the committed fixture wavs: any change that
     shifts harvest F0 tracks, mcep tracks, or metrics must be deliberate
-    and re-freeze these values (regenerate via the script in this test's
-    git history).  Complements tests/test_worldnp.py's ground-truth
-    accuracy suite with an exact regression pin."""
+    and re-freeze these values (regenerate via
+    tools/freeze_world_golden.py).  Complements tests/test_worldnp.py's
+    ground-truth accuracy suite with an exact regression pin."""
     from gradtts_tpu.data.dataset import load_wav
     from gradtts_tpu.eval.world import sptk_mcep, world_extract
     golden = np.load(os.path.join(FIXTURES, 'world_golden.npz'))
