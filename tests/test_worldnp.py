@@ -283,6 +283,18 @@ def test_harvest_respects_search_range():
     assert np.mean(f0 > 0) < 0.5  # the true pitch cannot be reported
 
 
+@pytest.mark.parametrize('fs', [8000, 22050, 44100])
+def test_harvest_across_sampling_rates(fs):
+    """Decimation ratio and grids adapt to fs (8 kHz: no decimation;
+    22.05/44.1 kHz: the synthesis-side rates)."""
+    t = np.arange(int(0.5 * fs)) / fs
+    x = 0.3 * np.sin(2 * np.pi * 180 * t) + 0.15 * np.sin(2 * np.pi * 360 * t)
+    f0, _ = W.harvest(x, fs, 70.0, 400.0, 256.0 / fs * 1000.0)
+    inner = f0[2:-2]
+    assert np.mean(inner > 0) > 0.9
+    assert np.median(inner[inner > 0]) == pytest.approx(180.0, rel=2e-3)
+
+
 def test_harvest_empty_input():
     f0, taxis = W.harvest(np.zeros(0), FS)
     assert len(f0) == 0 and len(taxis) == 0
