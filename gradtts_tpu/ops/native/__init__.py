@@ -8,6 +8,7 @@ the production path on TPU is the jit'd scan in gradtts_tpu/ops/mas.py.
 """
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -15,14 +16,29 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, 'mas.cc')
-_LIB = os.path.join(_HERE, 'libgradtts_mas.so')
 
 _lib = None
 
 
-def _build():
+def _lib_path() -> str:
+    """Build target: next to the source when the package dir is writable
+    (editable/dev installs), else a per-user cache dir keyed by a source
+    hash (read-only site-packages installs)."""
+    if os.access(_HERE, os.W_OK):
+        return os.path.join(_HERE, 'libgradtts_mas.so')
+    with open(_SRC, 'rb') as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache = os.path.join(
+        os.environ.get('XDG_CACHE_HOME',
+                       os.path.join(os.path.expanduser('~'), '.cache')),
+        'gradtts_tpu')
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, f'libgradtts_mas-{tag}.so')
+
+
+def _build(lib_path: str):
     cmd = ['g++', '-O3', '-march=native', '-fopenmp', '-shared', '-fPIC',
-           '-o', _LIB, _SRC]
+           '-o', lib_path, _SRC]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -30,10 +46,11 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if (not os.path.exists(_LIB)
-            or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
-        _build()
-    lib = ctypes.CDLL(_LIB)
+    lib_path = _lib_path()
+    if (not os.path.exists(lib_path)
+            or os.path.getmtime(lib_path) < os.path.getmtime(_SRC)):
+        _build(lib_path)
+    lib = ctypes.CDLL(lib_path)
     lib.gradtts_maximum_path.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
